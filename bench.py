@@ -1,0 +1,77 @@
+"""Headline benchmark: FAT5-small pretraining-step throughput on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline: the reference trains FAT5-small (147M, seq 1024, UL2) at
+~79.7k tokens/s on one A100 80GB (reference README.md:36,187; BASELINE.md).
+vs_baseline = our tokens/s / 79700.
+
+Token accounting matches the reference's published number (total processed
+tokens per wall-clock second for the full fwd+bwd+optimizer step; encoder and
+decoder tokens both count, as in the UL2 training mix where inputs are 1024
+and targets are bounded by max_labels_length).
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+def main():
+    from __graft_entry__ import _flagship_config
+    from flasht5_tpu.models import t5
+    from flasht5_tpu.optim import adamw_scale, no_decay_mask
+
+    config = _flagship_config()
+    on_tpu = jax.default_backend() == "tpu"
+    batch, enc_len, dec_len = (8, 1024, 256) if on_tpu else (2, 128, 64)
+
+    rng = jax.random.PRNGKey(0)
+    params = t5.init_params(rng, config)
+    tx = adamw_scale(1e-3, weight_decay=0.0, mask=no_decay_mask)
+    opt_state = tx.init(params)
+
+    input_ids = jax.random.randint(jax.random.PRNGKey(1), (batch, enc_len), 0,
+                                   config.vocab_size, dtype=jnp.int32)
+    labels = jax.random.randint(jax.random.PRNGKey(2), (batch, dec_len), 0,
+                                config.vocab_size, dtype=jnp.int32)
+
+    @jax.jit
+    def step(params, opt_state, input_ids, labels):
+        def loss_fn(p):
+            return t5.forward(config, p, input_ids=input_ids,
+                              labels=labels)["loss"]
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    # compile + warmup. NOTE: sync via scalar transfer (float(...)), not
+    # block_until_ready — the axon remote backend returns from
+    # block_until_ready at dispatch time, so only a value transfer proves
+    # the steps actually executed.
+    params, opt_state, loss = step(params, opt_state, input_ids, labels)
+    float(loss)
+
+    n_steps = 20 if on_tpu else 3
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        params, opt_state, loss = step(params, opt_state, input_ids, labels)
+    float(loss)  # chained data dependency -> waits for all steps
+    dt = time.perf_counter() - t0
+
+    tokens = n_steps * batch * (enc_len + dec_len)
+    tps = tokens / dt
+    print(json.dumps({
+        "metric": "fat5_small_train_tokens_per_sec",
+        "value": round(tps, 1),
+        "unit": "tokens/s/chip",
+        "vs_baseline": round(tps / 79700.0, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

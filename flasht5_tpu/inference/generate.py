@@ -1,0 +1,99 @@
+"""KV-cached generation: greedy and sampling decode loops.
+
+Contract parity with the reference generate() (modeling_flash_t5.py:648-690):
+decoding starts from token 0, stops when every row has emitted EOS (=1) or at
+max_length, the final position is forced to EOS, and everything after each
+row's first EOS is zero-padded. Unlike the reference (which re-runs the full
+decoder each step with no cache), this runs one `lax.while_loop` on-device
+over single-token KV-cached steps — O(L) instead of O(L^2) decoder work.
+
+Sampling (temperature / top-k / top-p) is new surface beyond the reference's
+greedy-only decode.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from flasht5_tpu.config import FlashT5Config
+from flasht5_tpu.inference.kv_cache import decode_step, init_decode_state
+from flasht5_tpu.models import t5
+
+
+def _sample_token(logits, rng, temperature, top_k, top_p):
+    if temperature == 0.0:
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    logits = logits.astype(jnp.float32) / temperature
+    if top_k is not None and top_k > 0:
+        kth = jnp.sort(logits, axis=-1)[:, -top_k][:, None]
+        logits = jnp.where(logits < kth, -jnp.inf, logits)
+    if top_p is not None and top_p < 1.0:
+        sorted_logits = jnp.sort(logits, axis=-1)[:, ::-1]
+        probs = jax.nn.softmax(sorted_logits, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        cutoff_idx = jnp.sum(cum < top_p, axis=-1)  # keep cutoff_idx+1 tokens
+        cutoff = jnp.take_along_axis(sorted_logits, cutoff_idx[:, None], axis=-1)
+        logits = jnp.where(logits < cutoff, -jnp.inf, logits)
+    return jax.random.categorical(rng, logits, axis=-1).astype(jnp.int32)
+
+
+def generate(
+    config: FlashT5Config,
+    params: Dict,
+    input_ids: jnp.ndarray,
+    attention_mask: Optional[jnp.ndarray] = None,
+    max_length: int = 32,
+    *,
+    temperature: float = 0.0,
+    top_k: Optional[int] = None,
+    top_p: Optional[float] = None,
+    rng: Optional[jax.Array] = None,
+) -> jnp.ndarray:
+    """KV-cached generation. Returns (B, max_length+1) token ids.
+
+    temperature=0 -> greedy (bit-parity with t5.greedy_generate / the
+    reference's custom generate).
+    """
+    b = input_ids.shape[0]
+    eos = config.eos_token_id
+    enc = t5.encode(config, params, input_ids, attention_mask)
+    state = init_decode_state(config, params, enc, max_length,
+                              encoder_mask=attention_mask)
+    out_len = max_length + 1
+    tokens0 = jnp.zeros((b, out_len), jnp.int32)  # start token 0 at position 0
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+
+    def cond(carry):
+        tokens, state, rng, done = carry
+        return (state.t < max_length) & jnp.logical_not(done)
+
+    def body(carry):
+        tokens, state, rng, done = carry
+        t = state.t
+        cur = jax.lax.dynamic_index_in_dim(tokens, t, axis=1, keepdims=False)
+        logits, state = decode_step(config, params, state, cur)
+        rng, sub = jax.random.split(rng)
+        nxt = _sample_token(logits, sub, temperature, top_k, top_p)
+        tokens = jax.lax.dynamic_update_index_in_dim(tokens, nxt, t + 1, axis=1)
+        pos = jnp.arange(out_len)[None, :]
+        gen = (pos >= 1) & (pos <= t + 1)
+        has_eos = jnp.any((tokens == eos) & gen, axis=-1)
+        return tokens, state, rng, jnp.all(has_eos)
+
+    tokens, state, rng, _ = jax.lax.while_loop(
+        cond, body, (tokens0, state, rng, jnp.asarray(False)))
+
+    # force-EOS at the boundary + zero-pad after first EOS (reference :683-688)
+    tokens = tokens.at[:, -1].set(jnp.where(state.t == max_length, eos,
+                                            tokens[:, -1]))
+    is_eos = tokens == eos
+    first = jnp.argmax(is_eos, axis=-1)
+    first = jnp.where(jnp.any(is_eos, axis=-1), first, out_len - 1)
+    pos = jnp.arange(out_len)[None, :]
+    tokens = jnp.where(pos <= first[:, None], tokens, 0)
+    tokens = jnp.where(pos == first[:, None], eos, tokens)
+    return tokens

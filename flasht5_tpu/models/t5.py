@@ -1,0 +1,569 @@
+"""T5 v1.1 encoder-decoder, pure-functional JAX.
+
+Re-implements the reference model layer (src/model/modeling_flash_t5.py):
+pre-norm residual blocks, (gated-)GELU/ReLU MLP, four positional-encoding
+families with layer-0-owned bias shared across blocks
+(reference: modeling_flash_t5.py:404,452-455), decoder with causal self-attn
+plus cross-attn (no positional bias, reference :324), untied lm_head,
+CE + z-loss, greedy generate with start-token 0 / EOS 1 / pad-after-EOS
+semantics (reference :648-690).
+
+Parameter pytree key names follow the reference checkpoint naming
+(convert_huggingface_t5.py:12-28), so the HF importer and parity checks map
+one-to-one:
+
+    shared.embedding
+    {encoder,decoder}.block.<i>.self_attention_layer.self_attention.{Wq,Wk,Wv,o}
+    {encoder,decoder}.block.<i>.self_attention_layer.layer_norm.weight
+    decoder.block.<i>.cross_attention_layer.cross_attention.{Wq,Wk,Wv,o}
+    {encoder,decoder}.block.<i>.ff_layer.act.{wi | wi_0,wi_1}
+    {encoder,decoder}.block.<i>.ff_layer.{wo, layer_norm.weight}
+    {encoder,decoder}.block.0...self_attention.pe_encoding.relative_attention_bias
+    {encoder,decoder}.final_layer_norm.weight
+    lm_head
+
+Linear kernels are stored (in_features, out_features) so application is
+`x @ W`; the HF importer transposes torch's (out, in) layout.
+
+TPU-first notes: everything is shaped statically; blocks run under an
+optional `jax.checkpoint` (remat); attention dispatches to Pallas kernels
+(ops/flash_attention.py, ops/flash_attention_rpe.py); all matmuls are
+bf16 on the MXU with fp32 accumulation; sharding rules for every parameter
+live in parallel/sharding.py.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from flasht5_tpu import positional
+from flasht5_tpu.config import FlashT5Config
+from flasht5_tpu.ops.attn_ref import attn_ref
+from flasht5_tpu.ops.cross_entropy import cross_entropy_loss, cross_entropy_loss_ref
+from flasht5_tpu.ops.flash_attention import flash_attention
+from flasht5_tpu.ops.rmsnorm import rms_norm, rms_norm_ref
+
+Params = Dict[str, Any]
+
+
+def _dtype(config):
+    return jnp.dtype(config.dtype)
+
+
+def _pdtype(config):
+    return jnp.dtype(config.param_dtype)
+
+
+# ===========================================================================
+# Initialization (T5 scheme, reference: modeling_flash_t5.py:479-504)
+# ===========================================================================
+
+def _normal(rng, shape, std, dtype):
+    return (jax.random.normal(rng, shape, jnp.float32) * std).astype(dtype)
+
+
+def _init_attention(rng, config: FlashT5Config, *, has_pe: bool,
+                    bidirectional: bool) -> Params:
+    f = config.initializer_factor
+    d, dkv, h = config.d_model, config.d_kv, config.num_heads
+    inner = h * dkv
+    ks = jax.random.split(rng, 6)
+    p = {
+        "Wq": _normal(ks[0], (d, inner), f * (d * dkv) ** -0.5, _pdtype(config)),
+        "Wk": _normal(ks[1], (d, inner), f * d ** -0.5, _pdtype(config)),
+        "Wv": _normal(ks[2], (d, inner), f * d ** -0.5, _pdtype(config)),
+        "o": _normal(ks[3], (inner, d), f * inner ** -0.5, _pdtype(config)),
+    }
+    if has_pe:
+        pe = {}
+        if config.position_encoding_type == "t5":
+            pe = positional.init_relative_bias_params(
+                ks[4], config.relative_attention_num_buckets, h,
+                initializer_factor=f, d_model=d, dtype=_pdtype(config))
+        elif config.position_encoding_type == "FIRE":
+            pe = positional.init_fire_params(
+                ks[5], h, config.fire_mlp_width, init_c=0.1,
+                init_L=float(config.relative_attention_max_distance),
+                dtype=_pdtype(config))
+        # ALiBi / RoPE carry no learnable parameters
+        if pe:
+            p["pe_encoding"] = pe
+    return p
+
+
+def _init_ff(rng, config: FlashT5Config) -> Params:
+    f = config.initializer_factor
+    d, dff = config.d_model, config.d_ff
+    ks = jax.random.split(rng, 3)
+    if config.use_glu_mlp:
+        act = {
+            "wi_0": _normal(ks[0], (d, dff), f * d ** -0.5, _pdtype(config)),
+            "wi_1": _normal(ks[1], (d, dff), f * d ** -0.5, _pdtype(config)),
+        }
+    else:
+        act = {"wi": _normal(ks[0], (d, dff), f * d ** -0.5, _pdtype(config))}
+    return {
+        "act": act,
+        "wo": _normal(ks[2], (dff, d), f * dff ** -0.5, _pdtype(config)),
+        "layer_norm": {"weight": jnp.full((d,), f, _pdtype(config))},
+    }
+
+
+def _init_block(rng, config: FlashT5Config, *, is_decoder: bool,
+                has_pe: bool) -> Params:
+    ks = jax.random.split(rng, 3)
+    block = {
+        "self_attention_layer": {
+            "self_attention": _init_attention(
+                ks[0], config, has_pe=has_pe, bidirectional=not is_decoder),
+            "layer_norm": {"weight": jnp.full((config.d_model,),
+                                              config.initializer_factor,
+                                              _pdtype(config))},
+        },
+        "ff_layer": _init_ff(ks[1], config),
+    }
+    if is_decoder:
+        block["cross_attention_layer"] = {
+            "cross_attention": _init_attention(
+                ks[2], config, has_pe=False, bidirectional=True),
+            "layer_norm": {"weight": jnp.full((config.d_model,),
+                                              config.initializer_factor,
+                                              _pdtype(config))},
+        }
+    return block
+
+
+def _init_stack(rng, config: FlashT5Config, *, is_decoder: bool) -> Params:
+    n = config.num_decoder_layers if is_decoder else config.num_layers
+    ks = jax.random.split(rng, n)
+    return {
+        "block": [
+            _init_block(ks[i], config, is_decoder=is_decoder, has_pe=(i == 0))
+            for i in range(n)
+        ],
+        "final_layer_norm": {"weight": jnp.full((config.d_model,),
+                                                config.initializer_factor,
+                                                _pdtype(config))},
+    }
+
+
+def init_params(rng, config: FlashT5Config) -> Params:
+    """Initialize the full conditional-generation parameter tree."""
+    ks = jax.random.split(rng, 4)
+    f = config.initializer_factor
+    params = {
+        "shared": {"embedding": _normal(ks[0], (config.vocab_size, config.d_model),
+                                        f * 1.0, _pdtype(config))},
+        "encoder": _init_stack(ks[1], config, is_decoder=False),
+        "decoder": _init_stack(ks[2], config, is_decoder=True),
+    }
+    if not config.tie_word_embeddings:
+        params["lm_head"] = _normal(ks[3], (config.d_model, config.vocab_size),
+                                    f * config.d_model ** -0.5, _pdtype(config))
+    return params
+
+
+def init_encoder_params(rng, config: FlashT5Config) -> Params:
+    """Encoder-only tree (FlashT5EncoderModel, reference: modeling:739-774)."""
+    ks = jax.random.split(rng, 2)
+    return {
+        "shared": {"embedding": _normal(ks[0], (config.vocab_size, config.d_model),
+                                        config.initializer_factor, _pdtype(config))},
+        "encoder": _init_stack(ks[1], config, is_decoder=False),
+    }
+
+
+# ===========================================================================
+# Building blocks
+# ===========================================================================
+
+def _layer_norm(config: FlashT5Config, w: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    if config.use_fused_layernorm:
+        return rms_norm(x, w.astype(x.dtype), config.layer_norm_epsilon)
+    return rms_norm_ref(x, w.astype(x.dtype), config.layer_norm_epsilon)
+
+
+def _dropout(rng, rate, x, deterministic):
+    if deterministic or rate == 0.0 or rng is None:
+        return x
+    keep = jax.random.bernoulli(rng, 1.0 - rate, x.shape)
+    return jnp.where(keep, x / (1.0 - rate), 0.0).astype(x.dtype)
+
+
+def _matmul(x, w):
+    from flasht5_tpu.ops.quant import QuantizedTensor, quant_matmul
+    if isinstance(w, QuantizedTensor):
+        return quant_matmul(x, w)
+    return jnp.dot(x, w.astype(x.dtype))
+
+
+def _ff(config: FlashT5Config, params: Params, x, *, rng, deterministic):
+    """Pre-norm MLP with residual (reference: modeling_flash_t5.py:147-164)."""
+    r1, r2 = (jax.random.split(rng) if rng is not None else (None, None))
+    h = _layer_norm(config, params["layer_norm"]["weight"], x)
+    act_fn = (functools.partial(jax.nn.gelu, approximate=True)
+              if config.use_gelu_act else jax.nn.relu)
+    if config.use_glu_mlp:
+        a = act_fn(_matmul(h, params["act"]["wi_0"]))
+        b = _matmul(h, params["act"]["wi_1"])
+        h = a * b
+    else:
+        h = act_fn(_matmul(h, params["act"]["wi"]))
+    h = _dropout(r1, config.dropout_rate, h, deterministic)
+    h = _matmul(h, params["wo"])
+    return x + _dropout(r2, config.dropout_rate, h, deterministic)
+
+
+def _position_bias(config: FlashT5Config, pe_params: Optional[Params],
+                   q_len: int, k_len: int, *, bidirectional: bool, dtype,
+                   rng=None) -> Optional[jnp.ndarray]:
+    """Build the (1, H, M, N) additive bias for bias-style PEs."""
+    pet = config.position_encoding_type
+    q_pos = k_pos = None
+    if config.use_randomized_position_encoding and rng is not None:
+        rq, rk = jax.random.split(rng)
+        q_pos = positional._randomized_positions(rq, q_len, config.max_sequence_length)
+        k_pos = positional._randomized_positions(rk, k_len, config.max_sequence_length)
+    if pet == "t5":
+        return positional.t5_relative_bias(
+            pe_params, q_len, k_len, bidirectional=bidirectional,
+            num_buckets=config.relative_attention_num_buckets,
+            max_distance=config.relative_attention_max_distance,
+            dtype=dtype, q_positions=q_pos, k_positions=k_pos)
+    if pet == "ALiBi":
+        return positional.alibi_bias(
+            config.num_heads, q_len, k_len, mode=config.alibi_mode,
+            dtype=dtype, q_positions=q_pos, k_positions=k_pos)
+    if pet == "FIRE":
+        return positional.fire_bias(pe_params, q_len, dtype=dtype)
+    return None
+
+
+def _attention(
+    config: FlashT5Config,
+    params: Params,
+    hidden_states: jnp.ndarray,
+    *,
+    mask: Optional[jnp.ndarray] = None,
+    key_value_states: Optional[jnp.ndarray] = None,
+    position_bias: Optional[jnp.ndarray] = None,
+    has_pe: bool,
+    is_causal: bool,
+    bidirectional: bool,
+    rng=None,
+    deterministic: bool = True,
+) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+    """Multi-head attention (reference: modeling_flash_t5.py:232-294).
+
+    Returns (output, position_bias) so the stack can thread the layer-0 bias
+    to later blocks.
+    """
+    b, m = hidden_states.shape[:2]
+    kv_src = hidden_states if key_value_states is None else key_value_states
+    n = kv_src.shape[1]
+    h, dkv = config.num_heads, config.d_kv
+
+    q = _matmul(hidden_states, params["Wq"]).reshape(b, m, h, dkv)
+    k = _matmul(kv_src, params["Wk"]).reshape(b, n, h, dkv)
+    v = _matmul(kv_src, params["Wv"]).reshape(b, n, h, dkv)
+
+    pe_params = params.get("pe_encoding")
+    if config.position_encoding_type == "RoPE":
+        # RoPE applies in every layer (reference quirk: the rotary encoder is
+        # constructed regardless of has_positional_encoding, modeling:214).
+        rotary_dim = int(dkv * config.rotary_emb_fraction)
+        cos, sin, cos_k, sin_k = positional.rope_cos_sin(
+            max(m, n), rotary_dim, base=config.rotary_base,
+            scale_base=config.rotary_scale_base, dtype=jnp.float32)
+        q = positional.apply_rotary(q, cos[:m], sin[:m],
+                                    interleaved=config.rotary_interleaved)
+        ck = cos if cos_k is None else cos_k
+        sk = sin if sin_k is None else sin_k
+        k = positional.apply_rotary(k, ck[:n], sk[:n],
+                                    interleaved=config.rotary_interleaved)
+    elif (position_bias is None and has_pe
+          and config.position_encoding_type in ("t5", "ALiBi", "FIRE")
+          and config.attention_type != "pallas_rpe"):
+        position_bias = _position_bias(
+            config, pe_params, m, n, bidirectional=bidirectional,
+            dtype=jnp.float32, rng=rng)
+
+    if position_bias is not None and config.use_full_bias_size:
+        position_bias = jnp.broadcast_to(position_bias, (b, h, m, n))
+
+    if position_bias is not None and mask is not None and config.use_masking:
+        # fold key-padding mask into the bias (reference: modeling:266-270)
+        mm = mask[:, None]                       # (B, 1, N) or (B, 1, M, N)
+        if mm.ndim == 3:
+            mm = mm[:, :, None, :]               # (B, 1, 1, N)
+        position_bias = jnp.where(mm.astype(bool), position_bias,
+                                  jnp.finfo(position_bias.dtype).min)
+
+    # (B, L, H, D) -> (B, H, L, D)
+    qt = jnp.transpose(q, (0, 2, 1, 3))
+    kt = jnp.transpose(k, (0, 2, 1, 3))
+    vt = jnp.transpose(v, (0, 2, 1, 3))
+    scale = config.softmax_scale
+
+    if config.attention_type == "pallas_rpe":
+        from flasht5_tpu.ops.flash_attention_rpe import flash_attention_rpe
+        out = flash_attention_rpe(
+            qt, kt, vt, params["pe_encoding"]["relative_attention_bias"]
+            if has_pe and pe_params is not None else None,
+            causal=is_causal, sm_scale=scale, bidirectional=bidirectional,
+            num_buckets=config.relative_attention_num_buckets,
+            max_distance=config.relative_attention_max_distance)
+    elif config.attention_type == "pallas":
+        out = flash_attention(qt, kt, vt, position_bias, causal=is_causal,
+                              sm_scale=scale)
+    else:
+        drop_rng = None
+        if not deterministic and config.attention_dropout_rate > 0.0 and rng is not None:
+            rng, drop_rng = jax.random.split(rng)
+        out = attn_ref(qt, kt, vt, position_bias, sm_scale=scale,
+                       causal=is_causal,
+                       dropout_p=0.0 if deterministic else config.attention_dropout_rate,
+                       dropout_rng=drop_rng)
+
+    out = jnp.transpose(out, (0, 2, 1, 3)).reshape(b, m, h * dkv)
+    return _matmul(out, params["o"]), position_bias
+
+
+def _block_apply(
+    config: FlashT5Config,
+    block_params: Params,
+    hidden_states: jnp.ndarray,
+    *,
+    is_decoder: bool,
+    has_pe: bool,
+    attention_mask=None,
+    position_bias=None,
+    encoder_hidden_states=None,
+    encoder_attention_mask=None,
+    encoder_decoder_position_bias=None,
+    rng=None,
+    deterministic=True,
+):
+    rngs = jax.random.split(rng, 4) if rng is not None else (None,) * 4
+
+    # self attention (pre-norm + residual, reference: modeling:304-318)
+    sa = block_params["self_attention_layer"]
+    normed = _layer_norm(config, sa["layer_norm"]["weight"], hidden_states)
+    attn_out, position_bias = _attention(
+        config, sa["self_attention"], normed,
+        mask=attention_mask, position_bias=position_bias,
+        has_pe=has_pe, is_causal=is_decoder, bidirectional=not is_decoder,
+        rng=rngs[0], deterministic=deterministic)
+    hidden_states = hidden_states + _dropout(rngs[1], config.dropout_rate,
+                                             attn_out, deterministic)
+
+    if is_decoder and encoder_hidden_states is not None:
+        ca = block_params["cross_attention_layer"]
+        normed = _layer_norm(config, ca["layer_norm"]["weight"], hidden_states)
+        attn_out, encoder_decoder_position_bias = _attention(
+            config, ca["cross_attention"], normed,
+            mask=encoder_attention_mask,
+            key_value_states=encoder_hidden_states,
+            position_bias=encoder_decoder_position_bias,
+            has_pe=False, is_causal=False, bidirectional=True,
+            rng=rngs[2], deterministic=deterministic)
+        hidden_states = hidden_states + _dropout(rngs[3], config.dropout_rate,
+                                                 attn_out, deterministic)
+
+    hidden_states = _ff(config, block_params["ff_layer"], hidden_states,
+                        rng=rngs[3] if not is_decoder else rngs[2],
+                        deterministic=deterministic)
+    return hidden_states, position_bias, encoder_decoder_position_bias
+
+
+def stack_apply(
+    config: FlashT5Config,
+    stack_params: Params,
+    embedding: jnp.ndarray,
+    input_ids: jnp.ndarray,
+    *,
+    is_decoder: bool,
+    attention_mask=None,
+    encoder_hidden_states=None,
+    encoder_attention_mask=None,
+    rng=None,
+    deterministic=True,
+) -> jnp.ndarray:
+    """Embed + N blocks + final norm (reference: modeling_flash_t5.py:410-464)."""
+    x = jnp.take(embedding, input_ids, axis=0).astype(_dtype(config))
+    nblocks = len(stack_params["block"])
+    rngs = jax.random.split(rng, nblocks + 2) if rng is not None else [None] * (nblocks + 2)
+    x = _dropout(rngs[0], config.dropout_rate, x, deterministic)
+
+    position_bias = None
+    encdec_bias = None
+
+    block_fn = _block_apply
+    if config.remat:
+        block_fn = jax.checkpoint(
+            _block_apply,
+            static_argnums=(0,),
+            policy=jax.checkpoint_policies.nothing_saveable,
+        )
+
+    for i, block_params in enumerate(stack_params["block"]):
+        x, position_bias, encdec_bias = block_fn(
+            config, block_params, x,
+            is_decoder=is_decoder, has_pe=(i == 0),
+            attention_mask=attention_mask,
+            position_bias=position_bias,
+            encoder_hidden_states=encoder_hidden_states,
+            encoder_attention_mask=encoder_attention_mask,
+            encoder_decoder_position_bias=encdec_bias,
+            rng=rngs[i + 1], deterministic=deterministic)
+
+    x = _layer_norm(config, stack_params["final_layer_norm"]["weight"], x)
+    x = _dropout(rngs[-1], config.dropout_rate, x, deterministic)
+    return x
+
+
+# ===========================================================================
+# Losses
+# ===========================================================================
+
+def compute_loss(config: FlashT5Config, logits: jnp.ndarray,
+                 labels: jnp.ndarray) -> jnp.ndarray:
+    """CE + z-loss (reference: FlashT5CrossEntropyLoss, modeling:40-79).
+
+    Reproduces the reference's reduction quirk: the fused path means over ALL
+    rows (including ignored, modeling:68); the reference path means over
+    non-ignored rows only (modeling:74).
+    """
+    z = config.z_loss or 0.0
+    flat_logits = logits.reshape(-1, logits.shape[-1])
+    flat_labels = labels.reshape(-1)
+    if config.use_fused_crossentropy:
+        losses, _ = cross_entropy_loss(
+            flat_logits, flat_labels, z, config.label_smoothing)
+        return jnp.mean(losses)
+    losses, _ = cross_entropy_loss_ref(
+        flat_logits, flat_labels, lse_square_scale=z,
+        label_smoothing=config.label_smoothing)
+    n_valid = jnp.maximum(jnp.sum(flat_labels != -100), 1)
+    return jnp.sum(losses) / n_valid
+
+
+# ===========================================================================
+# Top-level models
+# ===========================================================================
+
+def shift_right(config: FlashT5Config, input_ids: jnp.ndarray) -> jnp.ndarray:
+    """Decoder-input construction (reference: modeling:506-517)."""
+    shifted = jnp.roll(input_ids, 1, axis=-1)
+    shifted = shifted.at[..., 0].set(config.decoder_start_token_id)
+    return jnp.where(shifted == -100, config.pad_token_id, shifted)
+
+
+def encode(config: FlashT5Config, params: Params, input_ids,
+           attention_mask=None, *, rng=None, deterministic=True):
+    return stack_apply(config, params["encoder"],
+                       params["shared"]["embedding"], input_ids,
+                       is_decoder=False, attention_mask=attention_mask,
+                       rng=rng, deterministic=deterministic)
+
+
+def forward(
+    config: FlashT5Config,
+    params: Params,
+    input_ids: Optional[jnp.ndarray] = None,
+    attention_mask: Optional[jnp.ndarray] = None,
+    decoder_input_ids: Optional[jnp.ndarray] = None,
+    decoder_attention_mask: Optional[jnp.ndarray] = None,
+    labels: Optional[jnp.ndarray] = None,
+    encoder_hidden_states: Optional[jnp.ndarray] = None,
+    *,
+    rng=None,
+    deterministic: bool = True,
+):
+    """Conditional-generation forward (reference: modeling:692-736).
+
+    Returns dict(loss?, logits, encoder_hidden_states).
+    """
+    r_enc = r_dec = None
+    if rng is not None:
+        r_enc, r_dec = jax.random.split(rng)
+    if encoder_hidden_states is None:
+        encoder_hidden_states = encode(config, params, input_ids,
+                                       attention_mask, rng=r_enc,
+                                       deterministic=deterministic)
+    if labels is not None and decoder_input_ids is None:
+        decoder_input_ids = shift_right(config, labels)
+
+    dec = stack_apply(config, params["decoder"],
+                      params["shared"]["embedding"], decoder_input_ids,
+                      is_decoder=True,
+                      attention_mask=decoder_attention_mask,
+                      encoder_hidden_states=encoder_hidden_states,
+                      encoder_attention_mask=attention_mask,
+                      rng=r_dec, deterministic=deterministic)
+    if config.tie_word_embeddings:
+        lm_logits = _matmul(dec, params["shared"]["embedding"].T)
+    else:
+        lm_logits = _matmul(dec, params["lm_head"])
+
+    out = {"logits": lm_logits, "encoder_hidden_states": encoder_hidden_states}
+    if labels is not None:
+        out["loss"] = compute_loss(config, lm_logits, labels)
+    return out
+
+
+def greedy_generate(
+    config: FlashT5Config,
+    params: Params,
+    input_ids: jnp.ndarray,
+    attention_mask: Optional[jnp.ndarray] = None,
+    max_length: int = 32,
+) -> jnp.ndarray:
+    """Reference-parity greedy decode WITHOUT KV cache (modeling:648-690):
+    start token 0, stop on EOS 1, force final EOS, zero-pad after first EOS.
+    Re-runs the decoder over the full prefix each step (the reference's exact
+    behavior); the KV-cached engine lives in inference/generate.py.
+    """
+    b = input_ids.shape[0]
+    enc = encode(config, params, input_ids, attention_mask)
+
+    labels0 = jnp.zeros((b, max_length + 1), jnp.int32)
+    # position t generated at step t; buffer position 0 is the start token
+
+    def cond(state):
+        labels, t, done = state
+        return (t < max_length) & jnp.logical_not(done)
+
+    def body(state):
+        labels, t, done = state
+        out = forward(config, params,
+                      attention_mask=attention_mask,
+                      decoder_input_ids=labels[:, :-1],
+                      encoder_hidden_states=enc)
+        logits_t = jax.lax.dynamic_index_in_dim(out["logits"], t, axis=1,
+                                                keepdims=False)
+        nxt = jnp.argmax(logits_t, axis=-1).astype(jnp.int32)
+        labels = jax.lax.dynamic_update_index_in_dim(labels, nxt, t + 1, axis=1)
+        pos = jnp.arange(max_length + 1)[None, :]
+        gen = (pos >= 1) & (pos <= t + 1)
+        has_eos = jnp.any((labels == config.eos_token_id) & gen, axis=-1)
+        return labels, t + 1, jnp.all(has_eos)
+
+    labels, t_final, _ = jax.lax.while_loop(cond, body, (labels0, 0, False))
+    out_len = max_length + 1
+    labels = labels.at[:, -1].set(jnp.where(t_final == max_length,
+                                            config.eos_token_id,
+                                            labels[:, -1]))
+    # zero-out everything after the first EOS; force an EOS at the boundary
+    is_eos = labels == config.eos_token_id
+    first_eos = jnp.argmax(is_eos, axis=-1)
+    has_eos = jnp.any(is_eos, axis=-1)
+    first_eos = jnp.where(has_eos, first_eos, out_len - 1)
+    pos = jnp.arange(out_len)[None, :]
+    labels = jnp.where(pos <= first_eos[:, None], labels, 0)
+    labels = jnp.where(pos == first_eos[:, None], config.eos_token_id, labels)
+    return labels

@@ -1,0 +1,492 @@
+"""Pallas TPU flash attention with additive bias (fwd + bwd incl. dbias).
+
+Capability parity with the reference's in-tree Triton FA2-with-bias kernel
+(src/model/ops/flash_attention_v2_bias.py): additive bias broadcastable as
+(B|1, H|1, M, N), causal masking with bottom-right alignment for M != N,
+non-divisible sequence lengths, and a backward pass producing dq, dk, dv and
+the bias gradient needed to train relative-position embeddings
+(reference: flash_attention_v2_bias.py:91-226).
+
+TPU-first design notes (not a port):
+- One q-tile per grid step streams k/v tiles (grid innermost dim) with online
+  softmax in fp32; the (BM, BN) score tile never leaves VMEM, so memory is
+  linear in sequence length.
+- Backward is two kernels: a dk/dv kernel whose (b, h, j)-indexed output tiles
+  stay resident in VMEM while the q-dimension is streamed innermost, and a dq
+  kernel with the roles swapped. The Pallas TPU grid is sequential per core,
+  so resident-block accumulation replaces the reference's atomic/lock
+  strategies (flash_attention_v2_bias.py:151-157).
+- delta = rowsum(dO * O) is computed by XLA outside the kernels (a fused
+  elementwise+reduce), replacing the `_bwd_preprocess` kernel
+  (flash_attention_v2_bias.py:516).
+- Broadcast-bias gradients ((1,H,M,N) / (1,1,M,N)) are reduced with an XLA sum
+  over the full per-batch dbias, mirroring the reference's shipped host-side
+  `ds.sum(0)` reduction (flash_attention_v2_bias.py:214-215).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from flasht5_tpu.runtime import interpret_mode
+
+DEFAULT_BLOCK_M = 128
+DEFAULT_BLOCK_N = 128
+_NEG_INF = -1e30
+
+
+def _compiler_params(dims):
+    try:
+        return pltpu.CompilerParams(dimension_semantics=dims)
+    except TypeError:
+        return pltpu.CompilerParams()
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref,
+                m_scr, l_scr, acc_scr, *,
+                sm_scale: float, causal: bool, m_len: int, n_len: int,
+                block_m: int, block_n: int, has_bias: bool):
+    i = pl.program_id(2)
+    j = pl.program_id(3)
+    nb = pl.num_programs(3)
+
+    @pl.when(j == 0)
+    def _init():
+        m_scr[...] = jnp.full_like(m_scr, _NEG_INF)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    # causal: skip k-blocks strictly in the future of every row in this q-block
+    offset = n_len - m_len  # bottom-right alignment for M != N
+    run = True
+    if causal:
+        run = j * block_n <= i * block_m + block_m - 1 + offset
+
+    @pl.when(run)
+    def _compute():
+        q = q_ref[0, 0].astype(jnp.float32)
+        k = k_ref[0, 0].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * sm_scale
+        if has_bias:
+            s = s + bias_ref[0, 0].astype(jnp.float32)
+
+        rows = i * block_m + jax.lax.broadcasted_iota(jnp.int32, (block_m, block_n), 0)
+        cols = j * block_n + jax.lax.broadcasted_iota(jnp.int32, (block_m, block_n), 1)
+        mask = cols < n_len
+        if causal:
+            mask = mask & (cols <= rows + offset)
+        s = jnp.where(mask, s, _NEG_INF)
+
+        m_prev = m_scr[...]
+        m_cur = jnp.max(s, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s - m_new)
+        p = jnp.where(mask, p, 0.0)
+
+        l_scr[...] = l_scr[...] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        m_scr[...] = m_new
+        pv = jax.lax.dot_general(
+            p.astype(v_ref.dtype), v_ref[0, 0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        acc_scr[...] = acc_scr[...] * alpha + pv
+
+    @pl.when(j == nb - 1)
+    def _finalize():
+        l = l_scr[...]
+        l_safe = jnp.where(l > 0.0, l, 1.0)
+        o_ref[0, 0] = (acc_scr[...] / l_safe).astype(o_ref.dtype)
+        lse = jnp.where(l > 0.0, m_scr[...] + jnp.log(l_safe), _NEG_INF)
+        lse_ref[0, 0] = lse
+
+
+def _pad_to(x, axis, mult):
+    size = x.shape[axis]
+    pad = (-size) % mult
+    if pad == 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths)
+
+
+def _bias_spec(bias_shape, block_m, block_n):
+    bb = 0 if bias_shape[0] == 1 else None
+    hb = 0 if bias_shape[1] == 1 else None
+
+    def index_map(b, h, i, j):
+        return (bb if bb is not None else b, hb if hb is not None else h, i, j)
+
+    return pl.BlockSpec((1, 1, block_m, block_n), index_map, memory_space=pltpu.VMEM)
+
+
+def _fwd(q, k, v, bias, causal, sm_scale, block_m, block_n):
+    batch, heads, m_len, d = q.shape
+    n_len = k.shape[2]
+    qp = _pad_to(q, 2, block_m)
+    kp = _pad_to(k, 2, block_n)
+    vp = _pad_to(v, 2, block_n)
+    mp, np_ = qp.shape[2], kp.shape[2]
+    has_bias = bias is not None
+    inputs = [qp, kp, vp]
+    in_specs = [
+        pl.BlockSpec((1, 1, block_m, d), lambda b, h, i, j: (b, h, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, block_n, d), lambda b, h, i, j: (b, h, j, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, block_n, d), lambda b, h, i, j: (b, h, j, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    if has_bias:
+        bp = _pad_to(_pad_to(bias, 2, block_m), 3, block_n)
+        inputs.append(bp)
+        in_specs.append(_bias_spec(bias.shape, block_m, block_n))
+    else:
+        inputs.append(jnp.zeros((1, 1, block_m, block_n), q.dtype))
+        in_specs.append(pl.BlockSpec((1, 1, block_m, block_n),
+                                     lambda b, h, i, j: (0, 0, 0, 0),
+                                     memory_space=pltpu.VMEM))
+
+    grid = (batch, heads, mp // block_m, np_ // block_n)
+    kern = functools.partial(
+        _fwd_kernel, sm_scale=sm_scale, causal=causal, m_len=m_len,
+        n_len=n_len, block_m=block_m, block_n=block_n, has_bias=has_bias)
+    o, lse = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((1, 1, block_m, d), lambda b, h, i, j: (b, h, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_m, 1), lambda b, h, i, j: (b, h, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct(qp.shape, q.dtype),
+            jax.ShapeDtypeStruct((batch, heads, mp, 1), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_m, 1), jnp.float32),
+            pltpu.VMEM((block_m, 1), jnp.float32),
+            pltpu.VMEM((block_m, d), jnp.float32),
+        ],
+        compiler_params=_compiler_params(("parallel", "parallel", "parallel", "arbitrary")),
+        interpret=interpret_mode(),
+    )(*inputs)
+    return o[:, :, :m_len], lse[:, :, :m_len, 0]
+
+
+# ---------------------------------------------------------------------------
+# Backward
+# ---------------------------------------------------------------------------
+
+def _recompute_p_and_g(q_ref, k_ref, v_ref, bias_ref, lse_ref, delta_ref,
+                       do_ref, *, i, j, sm_scale, causal, m_len, n_len,
+                       block_m, block_n, has_bias):
+    """Shared bwd tile math: returns (p, g, q, k, do) in fp32/f32-accum types.
+
+    p: recomputed softmax tile; g = p * (dp - delta) is the gradient of the
+    pre-softmax scores S (so dbias = g, dq = g K sm_scale, dk = g^T Q sm_scale).
+    """
+    q = q_ref[0, 0].astype(jnp.float32)
+    k = k_ref[0, 0].astype(jnp.float32)
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * sm_scale
+    if has_bias:
+        s = s + bias_ref[0, 0].astype(jnp.float32)
+    rows = i * block_m + jax.lax.broadcasted_iota(jnp.int32, (block_m, block_n), 0)
+    cols = j * block_n + jax.lax.broadcasted_iota(jnp.int32, (block_m, block_n), 1)
+    mask = (cols < n_len) & (rows < m_len)
+    if causal:
+        mask = mask & (cols <= rows + (n_len - m_len))
+
+    lse = lse_ref[0, 0]
+    lse_ok = lse > _NEG_INF / 2
+    lse_safe = jnp.where(lse_ok, lse, 0.0)
+    p = jnp.where(mask & lse_ok, jnp.exp(s - lse_safe), 0.0)
+
+    do = do_ref[0, 0].astype(jnp.float32)
+    v = v_ref[0, 0].astype(jnp.float32)
+    dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    delta = delta_ref[0, 0]
+    g = p * (dp - delta)
+    return p, g, q, k, do
+
+
+def _bwd_dkv_kernel(q_ref, k_ref, v_ref, bias_ref, lse_ref, delta_ref, do_ref,
+                    dk_ref, dv_ref, dbias_ref, *,
+                    sm_scale, causal, m_len, n_len, block_m, block_n,
+                    has_bias, want_dbias):
+    j = pl.program_id(2)
+    i = pl.program_id(3)
+
+    @pl.when(i == 0)
+    def _init():
+        dk_ref[...] = jnp.zeros_like(dk_ref)
+        dv_ref[...] = jnp.zeros_like(dv_ref)
+
+    run = True
+    if causal:
+        run = j * block_n <= i * block_m + block_m - 1 + (n_len - m_len)
+
+    if want_dbias:
+        # dbias tile is (b,h,i,j)-addressed: always write (zeros when skipped)
+        @pl.when(jnp.logical_not(run))
+        def _zero_dbias():
+            dbias_ref[0, 0] = jnp.zeros_like(dbias_ref[0, 0])
+
+    @pl.when(run)
+    def _compute():
+        p, g, q, k, do = _recompute_p_and_g(
+            q_ref, k_ref, v_ref, bias_ref, lse_ref, delta_ref, do_ref,
+            i=i, j=j, sm_scale=sm_scale, causal=causal, m_len=m_len,
+            n_len=n_len, block_m=block_m, block_n=block_n, has_bias=has_bias)
+        dv_ref[0, 0] += jax.lax.dot_general(
+            p.astype(do_ref.dtype), do_ref[0, 0], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dk_ref[0, 0] += jax.lax.dot_general(
+            g.astype(q_ref.dtype), q_ref[0, 0].astype(q_ref.dtype),
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * sm_scale
+        if want_dbias:
+            dbias_ref[0, 0] = g.astype(dbias_ref.dtype)
+
+
+def _bwd_dq_kernel(q_ref, k_ref, v_ref, bias_ref, lse_ref, delta_ref, do_ref,
+                   dq_ref, *, sm_scale, causal, m_len, n_len, block_m, block_n,
+                   has_bias):
+    i = pl.program_id(2)
+    j = pl.program_id(3)
+
+    @pl.when(j == 0)
+    def _init():
+        dq_ref[...] = jnp.zeros_like(dq_ref)
+
+    run = True
+    if causal:
+        run = j * block_n <= i * block_m + block_m - 1 + (n_len - m_len)
+
+    @pl.when(run)
+    def _compute():
+        p, g, q, k, do = _recompute_p_and_g(
+            q_ref, k_ref, v_ref, bias_ref, lse_ref, delta_ref, do_ref,
+            i=i, j=j, sm_scale=sm_scale, causal=causal, m_len=m_len,
+            n_len=n_len, block_m=block_m, block_n=block_n, has_bias=has_bias)
+        dq_ref[0, 0] += jax.lax.dot_general(
+            g.astype(k_ref.dtype), k_ref[0, 0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * sm_scale
+
+
+def _bwd(q, k, v, bias, causal, sm_scale, block_m, block_n, lse, o, do,
+         want_dbias):
+    batch, heads, m_len, d = q.shape
+    n_len = k.shape[2]
+    qp = _pad_to(q, 2, block_m)
+    kp = _pad_to(k, 2, block_n)
+    vp = _pad_to(v, 2, block_n)
+    dop = _pad_to(do, 2, block_m)
+    mp, np_ = qp.shape[2], kp.shape[2]
+
+    delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)
+    deltap = _pad_to(delta, 2, block_m)[..., None]
+    lsep = _pad_to(lse, 2, block_m)[..., None]  # padded rows: lse=0 but p masked by rows<m_len
+
+    has_bias = bias is not None
+    if has_bias:
+        bp = _pad_to(_pad_to(bias, 2, block_m), 3, block_n)
+        bias_in = bp
+        bias_spec = _bias_spec(bias.shape, block_m, block_n)
+    else:
+        bias_in = jnp.zeros((1, 1, block_m, block_n), q.dtype)
+        bias_spec = pl.BlockSpec((1, 1, block_m, block_n),
+                                 lambda b, h, j, i: (0, 0, 0, 0),
+                                 memory_space=pltpu.VMEM)
+
+    # ---- dk/dv (+ dbias) ----
+    in_specs_kv = [
+        pl.BlockSpec((1, 1, block_m, d), lambda b, h, j, i: (b, h, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, block_n, d), lambda b, h, j, i: (b, h, j, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, block_n, d), lambda b, h, j, i: (b, h, j, 0),
+                     memory_space=pltpu.VMEM),
+        (bias_spec if not has_bias else
+         _bias_spec_kvorder(bias.shape, block_m, block_n)),
+        pl.BlockSpec((1, 1, block_m, 1), lambda b, h, j, i: (b, h, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, block_m, 1), lambda b, h, j, i: (b, h, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, block_m, d), lambda b, h, j, i: (b, h, i, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_specs_kv = [
+        pl.BlockSpec((1, 1, block_n, d), lambda b, h, j, i: (b, h, j, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, block_n, d), lambda b, h, j, i: (b, h, j, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, block_m, block_n), lambda b, h, j, i: (b, h, i, j),
+                     memory_space=pltpu.VMEM),
+    ]
+    dbias_shape = (batch, heads, mp, np_) if want_dbias else (1, 1, block_m, block_n)
+    if not want_dbias:
+        out_specs_kv[2] = pl.BlockSpec((1, 1, block_m, block_n),
+                                       lambda b, h, j, i: (0, 0, 0, 0),
+                                       memory_space=pltpu.VMEM)
+    grid_kv = (batch, heads, np_ // block_n, mp // block_m)
+    kern_kv = functools.partial(
+        _bwd_dkv_kernel, sm_scale=sm_scale, causal=causal, m_len=m_len,
+        n_len=n_len, block_m=block_m, block_n=block_n, has_bias=has_bias,
+        want_dbias=want_dbias)
+    dk, dv, dbias_full = pl.pallas_call(
+        kern_kv, grid=grid_kv, in_specs=in_specs_kv, out_specs=out_specs_kv,
+        out_shape=[
+            jax.ShapeDtypeStruct(kp.shape, jnp.float32),
+            jax.ShapeDtypeStruct(vp.shape, jnp.float32),
+            jax.ShapeDtypeStruct(dbias_shape, jnp.float32),
+        ],
+        compiler_params=_compiler_params(("parallel", "parallel", "parallel", "arbitrary")),
+        interpret=interpret_mode(),
+    )(qp, kp, vp, bias_in, lsep, deltap, dop)
+
+    # ---- dq ----
+    in_specs_q = [
+        pl.BlockSpec((1, 1, block_m, d), lambda b, h, i, j: (b, h, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, block_n, d), lambda b, h, i, j: (b, h, j, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, block_n, d), lambda b, h, i, j: (b, h, j, 0),
+                     memory_space=pltpu.VMEM),
+        (bias_spec if not has_bias else _bias_spec(bias.shape, block_m, block_n)),
+        pl.BlockSpec((1, 1, block_m, 1), lambda b, h, i, j: (b, h, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, block_m, 1), lambda b, h, i, j: (b, h, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, block_m, d), lambda b, h, i, j: (b, h, i, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    grid_q = (batch, heads, mp // block_m, np_ // block_n)
+    kern_q = functools.partial(
+        _bwd_dq_kernel, sm_scale=sm_scale, causal=causal, m_len=m_len,
+        n_len=n_len, block_m=block_m, block_n=block_n, has_bias=has_bias)
+    dq = pl.pallas_call(
+        kern_q, grid=grid_q, in_specs=in_specs_q,
+        out_specs=pl.BlockSpec((1, 1, block_m, d), lambda b, h, i, j: (b, h, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(qp.shape, jnp.float32),
+        compiler_params=_compiler_params(("parallel", "parallel", "parallel", "arbitrary")),
+        interpret=interpret_mode(),
+    )(qp, kp, vp, bias_in, lsep, deltap, dop)
+
+    dq = dq[:, :, :m_len].astype(q.dtype)
+    dk = dk[:, :, :n_len].astype(k.dtype)
+    dv = dv[:, :, :n_len].astype(v.dtype)
+
+    dbias = None
+    if want_dbias:
+        db = dbias_full[:, :, :m_len, :n_len]
+        # reduce over broadcast axes (reference: flash_attention_v2_bias.py:214-215)
+        axes = []
+        if bias.shape[0] == 1:
+            axes.append(0)
+        if bias.shape[1] == 1:
+            axes.append(1)
+        if axes:
+            db = jnp.sum(db, axis=tuple(axes), keepdims=True)
+        dbias = db.astype(bias.dtype)
+    return dq, dk, dv, dbias
+
+
+def _bias_spec_kvorder(bias_shape, block_m, block_n):
+    bb = 0 if bias_shape[0] == 1 else None
+    hb = 0 if bias_shape[1] == 1 else None
+
+    def index_map(b, h, j, i):
+        return (bb if bb is not None else b, hb if hb is not None else h, i, j)
+
+    return pl.BlockSpec((1, 1, block_m, block_n), index_map, memory_space=pltpu.VMEM)
+
+
+# ---------------------------------------------------------------------------
+# Public API (custom VJP)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def _flash_attention_bias(q, k, v, bias, causal, sm_scale, block_m, block_n):
+    o, _ = _fwd(q, k, v, bias, causal, sm_scale, block_m, block_n)
+    return o
+
+
+def _fab_fwd(q, k, v, bias, causal, sm_scale, block_m, block_n):
+    o, lse = _fwd(q, k, v, bias, causal, sm_scale, block_m, block_n)
+    return o, (q, k, v, bias, lse, o)
+
+
+def _fab_bwd(causal, sm_scale, block_m, block_n, res, do):
+    q, k, v, bias, lse, o = res
+    dq, dk, dv, dbias = _bwd(q, k, v, bias, causal, sm_scale, block_m,
+                             block_n, lse, o, do, want_dbias=True)
+    return dq, dk, dv, dbias
+
+
+_flash_attention_bias.defvjp(_fab_fwd, _fab_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _flash_attention_nobias(q, k, v, causal, sm_scale, block_m, block_n):
+    o, _ = _fwd(q, k, v, None, causal, sm_scale, block_m, block_n)
+    return o
+
+
+def _fan_fwd(q, k, v, causal, sm_scale, block_m, block_n):
+    o, lse = _fwd(q, k, v, None, causal, sm_scale, block_m, block_n)
+    return o, (q, k, v, lse, o)
+
+
+def _fan_bwd(causal, sm_scale, block_m, block_n, res, do):
+    q, k, v, lse, o = res
+    dq, dk, dv, _ = _bwd(q, k, v, None, causal, sm_scale, block_m, block_n,
+                         lse, o, do, want_dbias=False)
+    return dq, dk, dv
+
+
+_flash_attention_nobias.defvjp(_fan_fwd, _fan_bwd)
+
+
+def flash_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    bias: Optional[jnp.ndarray] = None,
+    *,
+    causal: bool = False,
+    sm_scale: float = 1.0,
+    block_m: int = DEFAULT_BLOCK_M,
+    block_n: int = DEFAULT_BLOCK_N,
+) -> jnp.ndarray:
+    """Flash attention. q: (B,H,M,D); k,v: (B,H,N,D); bias: (B|1,H|1,M,N).
+
+    Differentiable in q, k, v and bias. Equivalent math to
+    `attn_ref(q, k, v, bias, sm_scale=sm_scale, causal=causal)`.
+    """
+    m_len, n_len = q.shape[2], k.shape[2]
+    round16 = lambda x: ((x + 15) // 16) * 16
+    block_m = min(block_m, round16(m_len))
+    block_n = min(block_n, round16(n_len))
+    if bias is None:
+        return _flash_attention_nobias(q, k, v, causal, sm_scale, block_m, block_n)
+    if bias.ndim != 4:
+        raise ValueError(f"bias must be 4D (B|1,H|1,M,N), got {bias.shape}")
+    return _flash_attention_bias(q, k, v, bias, causal, sm_scale, block_m, block_n)

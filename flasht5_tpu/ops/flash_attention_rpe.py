@@ -1,0 +1,469 @@
+"""Pallas TPU flash attention with the T5 relative-position bias fused in-kernel.
+
+Capability parity with the reference's "fa2_rpe" patched-CUDA path
+(README.md:60, usage modeling_flash_t5.py:276-279): the kernel receives the
+raw (num_buckets, num_heads) bucket-embedding table and computes the bucketed
+bias for every (q-block, k-block) tile *inside* the kernel, so bias memory is
+O(num_buckets·H) instead of O(M·N) — linear total memory in sequence length.
+Unlike the reference (whose Triton kernel materializes the bias and whose CUDA
+patch is out-of-tree), the backward here also produces the bucket-embedding
+gradient in-kernel.
+
+TPU-first design:
+- The relative-position bucket function (positional.relative_position_bucket)
+  is evaluated on (BM, BN) index tiles with VPU integer/log ops.
+- The bias tile is a one-hot matmul on the MXU:
+  onehot(bucket) @ w[:, h] — (BM·BN, NB) x (NB, 1).
+- The bucket-weight gradient reuses the same one-hot: per-bucket sums
+  onehot^T @ g, accumulated into a per-batch (NB, 128) VMEM tile that stays
+  resident across the whole (h, j, i) sweep (TPU grids are sequential), then
+  reduced over batch by XLA. This solves the scatter-add the reference
+  sidesteps (SURVEY.md §7 "hard parts" #1).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from flasht5_tpu.ops.flash_attention import (
+    DEFAULT_BLOCK_M,
+    DEFAULT_BLOCK_N,
+    _NEG_INF,
+    _compiler_params,
+    _pad_to,
+)
+from flasht5_tpu.runtime import interpret_mode
+
+_HEAD_LANES = 128  # lane width of the in-kernel weight / dweight tiles
+
+
+def _bucket_tile(i, j, block_m, block_n, *, bidirectional, num_buckets,
+                 max_distance, q_offset=0, k_offset=0):
+    """(BM, BN) int32 bucket indices for tile (i, j).
+
+    Same math as positional.relative_position_bucket, on tile-local iotas.
+    """
+    rows = i * block_m + q_offset + jax.lax.broadcasted_iota(
+        jnp.int32, (block_m, block_n), 0)
+    cols = j * block_n + k_offset + jax.lax.broadcasted_iota(
+        jnp.int32, (block_m, block_n), 1)
+    rel = cols - rows
+    nb = num_buckets
+    out = jnp.zeros_like(rel)
+    if bidirectional:
+        nb //= 2
+        out += (rel > 0).astype(jnp.int32) * nb
+        rel = jnp.abs(rel)
+    else:
+        rel = -jnp.minimum(rel, 0)
+    max_exact = nb // 2
+    is_small = rel < max_exact
+    rel_f = jnp.maximum(rel.astype(jnp.float32), 1.0)
+    large = max_exact + (
+        jnp.log(rel_f / max_exact) / math.log(max_distance / max_exact)
+        * (nb - max_exact)).astype(jnp.int32)
+    large = jnp.minimum(large, nb - 1)
+    return out + jnp.where(is_small, rel, large)
+
+
+def _bias_from_buckets(bucket, w_tile, h, num_buckets, block_m, block_n):
+    """bias (BM, BN) = w[bucket, h] via one-hot MXU matmul.
+
+    w_tile: (NB, _HEAD_LANES) VMEM tile (heads along lanes, padded).
+    """
+    lane = jax.lax.broadcasted_iota(jnp.int32, (num_buckets, _HEAD_LANES), 1)
+    w_col = jnp.sum(jnp.where(lane == h, w_tile.astype(jnp.float32), 0.0),
+                    axis=1, keepdims=True)                    # (NB, 1)
+    flat = bucket.reshape(block_m * block_n, 1)
+    onehot = (flat == jax.lax.broadcasted_iota(
+        jnp.int32, (block_m * block_n, num_buckets), 1)).astype(jnp.float32)
+    bias = jax.lax.dot_general(onehot, w_col, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+    return bias.reshape(block_m, block_n), onehot
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+def _fwd_kernel(q_ref, k_ref, v_ref, w_ref, o_ref, lse_ref,
+                m_scr, l_scr, acc_scr, *,
+                sm_scale, causal, bidirectional, num_buckets, max_distance,
+                m_len, n_len, block_m, block_n):
+    h = pl.program_id(1)
+    i = pl.program_id(2)
+    j = pl.program_id(3)
+    nb_j = pl.num_programs(3)
+
+    @pl.when(j == 0)
+    def _init():
+        m_scr[...] = jnp.full_like(m_scr, _NEG_INF)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    offset = n_len - m_len
+    run = True
+    if causal:
+        run = j * block_n <= i * block_m + block_m - 1 + offset
+
+    @pl.when(run)
+    def _compute():
+        q = q_ref[0, 0].astype(jnp.float32)
+        k = k_ref[0, 0].astype(jnp.float32)
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * sm_scale
+        bucket = _bucket_tile(i, j, block_m, block_n,
+                              bidirectional=bidirectional,
+                              num_buckets=num_buckets,
+                              max_distance=max_distance)
+        bias, _ = _bias_from_buckets(bucket, w_ref[...], h, num_buckets,
+                                     block_m, block_n)
+        s = s + bias
+
+        rows = i * block_m + jax.lax.broadcasted_iota(jnp.int32, (block_m, block_n), 0)
+        cols = j * block_n + jax.lax.broadcasted_iota(jnp.int32, (block_m, block_n), 1)
+        mask = cols < n_len
+        if causal:
+            mask = mask & (cols <= rows + offset)
+        s = jnp.where(mask, s, _NEG_INF)
+
+        m_prev = m_scr[...]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.where(mask, jnp.exp(s - m_new), 0.0)
+        l_scr[...] = l_scr[...] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        m_scr[...] = m_new
+        pv = jax.lax.dot_general(p.astype(v_ref.dtype), v_ref[0, 0],
+                                 (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        acc_scr[...] = acc_scr[...] * alpha + pv
+
+    @pl.when(j == nb_j - 1)
+    def _finalize():
+        l = l_scr[...]
+        l_safe = jnp.where(l > 0.0, l, 1.0)
+        o_ref[0, 0] = (acc_scr[...] / l_safe).astype(o_ref.dtype)
+        lse_ref[0, 0] = jnp.where(l > 0.0, m_scr[...] + jnp.log(l_safe), _NEG_INF)
+
+
+def _prep_w(w):
+    """(NB, H) -> (NB_pad8, 128) fp32 tile for VMEM."""
+    nb, h = w.shape
+    wp = jnp.zeros((max(8, ((nb + 7) // 8) * 8), _HEAD_LANES), jnp.float32)
+    return wp.at[:nb, :h].set(w.astype(jnp.float32))
+
+
+def _fwd(q, k, v, w, causal, sm_scale, bidirectional, num_buckets,
+         max_distance, block_m, block_n):
+    batch, heads, m_len, d = q.shape
+    n_len = k.shape[2]
+    qp = _pad_to(q, 2, block_m)
+    kp = _pad_to(k, 2, block_n)
+    vp = _pad_to(v, 2, block_n)
+    mp, np_ = qp.shape[2], kp.shape[2]
+    wp = _prep_w(w)
+
+    grid = (batch, heads, mp // block_m, np_ // block_n)
+    kern = functools.partial(
+        _fwd_kernel, sm_scale=sm_scale, causal=causal,
+        bidirectional=bidirectional, num_buckets=num_buckets,
+        max_distance=max_distance, m_len=m_len, n_len=n_len,
+        block_m=block_m, block_n=block_n)
+    o, lse = pl.pallas_call(
+        kern, grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, block_m, d), lambda b, h, i, j: (b, h, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_n, d), lambda b, h, i, j: (b, h, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_n, d), lambda b, h, i, j: (b, h, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(wp.shape, lambda b, h, i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, block_m, d), lambda b, h, i, j: (b, h, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_m, 1), lambda b, h, i, j: (b, h, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct(qp.shape, q.dtype),
+            jax.ShapeDtypeStruct((batch, heads, mp, 1), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_m, 1), jnp.float32),
+            pltpu.VMEM((block_m, 1), jnp.float32),
+            pltpu.VMEM((block_m, d), jnp.float32),
+        ],
+        compiler_params=_compiler_params(("parallel", "parallel", "parallel", "arbitrary")),
+        interpret=interpret_mode(),
+    )(qp, kp, vp, wp)
+    return o[:, :, :m_len], lse[:, :, :m_len, 0]
+
+
+# ---------------------------------------------------------------------------
+# Backward
+# ---------------------------------------------------------------------------
+
+def _bwd_dkv_kernel(q_ref, k_ref, v_ref, w_ref, lse_ref, delta_ref, do_ref,
+                    dk_ref, dv_ref, dw_ref, *,
+                    sm_scale, causal, bidirectional, num_buckets, max_distance,
+                    m_len, n_len, block_m, block_n):
+    h = pl.program_id(1)
+    j = pl.program_id(2)
+    i = pl.program_id(3)
+
+    @pl.when(i == 0)
+    def _init_kv():
+        dk_ref[...] = jnp.zeros_like(dk_ref)
+        dv_ref[...] = jnp.zeros_like(dv_ref)
+
+    @pl.when((h == 0) & (j == 0) & (i == 0))
+    def _init_w():
+        dw_ref[...] = jnp.zeros_like(dw_ref)
+
+    run = True
+    if causal:
+        run = j * block_n <= i * block_m + block_m - 1 + (n_len - m_len)
+
+    @pl.when(run)
+    def _compute():
+        q = q_ref[0, 0].astype(jnp.float32)
+        k = k_ref[0, 0].astype(jnp.float32)
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * sm_scale
+        bucket = _bucket_tile(i, j, block_m, block_n,
+                              bidirectional=bidirectional,
+                              num_buckets=num_buckets,
+                              max_distance=max_distance)
+        bias, onehot = _bias_from_buckets(bucket, w_ref[...], h, num_buckets,
+                                          block_m, block_n)
+        s = s + bias
+        rows = i * block_m + jax.lax.broadcasted_iota(jnp.int32, (block_m, block_n), 0)
+        cols = j * block_n + jax.lax.broadcasted_iota(jnp.int32, (block_m, block_n), 1)
+        mask = (cols < n_len) & (rows < m_len)
+        if causal:
+            mask = mask & (cols <= rows + (n_len - m_len))
+
+        lse = lse_ref[0, 0]
+        lse_ok = lse > _NEG_INF / 2
+        p = jnp.where(mask & lse_ok, jnp.exp(s - jnp.where(lse_ok, lse, 0.0)), 0.0)
+
+        do = do_ref[0, 0].astype(jnp.float32)
+        dp = jax.lax.dot_general(do, v_ref[0, 0].astype(jnp.float32),
+                                 (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        g = p * (dp - delta_ref[0, 0])
+
+        dv_ref[0, 0] += jax.lax.dot_general(
+            p.astype(do_ref.dtype), do_ref[0, 0], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dk_ref[0, 0] += jax.lax.dot_general(
+            g.astype(q_ref.dtype), q_ref[0, 0], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * sm_scale
+
+        # bucket-weight gradient: per-bucket sums of g, scattered to head h
+        sums = jax.lax.dot_general(onehot, g.reshape(block_m * block_n, 1),
+                                   (((0,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)  # (NB,1)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (num_buckets, _HEAD_LANES), 1)
+        scat = jnp.where(lane == h, sums, 0.0)              # (NB, LANES)
+        dw_ref[0, :num_buckets, :] += scat
+
+
+def _bwd_dq_kernel(q_ref, k_ref, v_ref, w_ref, lse_ref, delta_ref, do_ref,
+                   dq_ref, *, sm_scale, causal, bidirectional, num_buckets,
+                   max_distance, m_len, n_len, block_m, block_n):
+    h = pl.program_id(1)
+    i = pl.program_id(2)
+    j = pl.program_id(3)
+
+    @pl.when(j == 0)
+    def _init():
+        dq_ref[...] = jnp.zeros_like(dq_ref)
+
+    run = True
+    if causal:
+        run = j * block_n <= i * block_m + block_m - 1 + (n_len - m_len)
+
+    @pl.when(run)
+    def _compute():
+        q = q_ref[0, 0].astype(jnp.float32)
+        k = k_ref[0, 0].astype(jnp.float32)
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * sm_scale
+        bucket = _bucket_tile(i, j, block_m, block_n,
+                              bidirectional=bidirectional,
+                              num_buckets=num_buckets,
+                              max_distance=max_distance)
+        bias, _ = _bias_from_buckets(bucket, w_ref[...], h, num_buckets,
+                                     block_m, block_n)
+        s = s + bias
+        rows = i * block_m + jax.lax.broadcasted_iota(jnp.int32, (block_m, block_n), 0)
+        cols = j * block_n + jax.lax.broadcasted_iota(jnp.int32, (block_m, block_n), 1)
+        mask = (cols < n_len) & (rows < m_len)
+        if causal:
+            mask = mask & (cols <= rows + (n_len - m_len))
+
+        lse = lse_ref[0, 0]
+        lse_ok = lse > _NEG_INF / 2
+        p = jnp.where(mask & lse_ok, jnp.exp(s - jnp.where(lse_ok, lse, 0.0)), 0.0)
+        do = do_ref[0, 0].astype(jnp.float32)
+        dp = jax.lax.dot_general(do, v_ref[0, 0].astype(jnp.float32),
+                                 (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        g = p * (dp - delta_ref[0, 0])
+        dq_ref[0, 0] += jax.lax.dot_general(
+            g.astype(k_ref.dtype), k_ref[0, 0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * sm_scale
+
+
+def _bwd(q, k, v, w, causal, sm_scale, bidirectional, num_buckets,
+         max_distance, block_m, block_n, lse, o, do):
+    batch, heads, m_len, d = q.shape
+    n_len = k.shape[2]
+    qp = _pad_to(q, 2, block_m)
+    kp = _pad_to(k, 2, block_n)
+    vp = _pad_to(v, 2, block_n)
+    dop = _pad_to(do, 2, block_m)
+    mp, np_ = qp.shape[2], kp.shape[2]
+    wp = _prep_w(w)
+    nb_pad = wp.shape[0]
+
+    delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)
+    deltap = _pad_to(delta, 2, block_m)[..., None]
+    lsep = _pad_to(lse, 2, block_m)[..., None]
+
+    common = dict(sm_scale=sm_scale, causal=causal, bidirectional=bidirectional,
+                  num_buckets=num_buckets, max_distance=max_distance,
+                  m_len=m_len, n_len=n_len, block_m=block_m, block_n=block_n)
+
+    def specs(order):
+        # order: "kv" (b,h,j,i) or "q" (b,h,i,j)
+        if order == "kv":
+            qi = lambda b, h, j, i: (b, h, i, 0)
+            ki = lambda b, h, j, i: (b, h, j, 0)
+            ri = lambda b, h, j, i: (b, h, i, 0)
+        else:
+            qi = lambda b, h, i, j: (b, h, i, 0)
+            ki = lambda b, h, i, j: (b, h, j, 0)
+            ri = lambda b, h, i, j: (b, h, i, 0)
+        return [
+            pl.BlockSpec((1, 1, block_m, d), qi, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_n, d), ki, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_n, d), ki, memory_space=pltpu.VMEM),
+            pl.BlockSpec(wp.shape, (lambda *a: (0, 0)), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_m, 1), ri, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_m, 1), ri, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_m, d), qi, memory_space=pltpu.VMEM),
+        ]
+
+    dk, dv, dw_all = pl.pallas_call(
+        functools.partial(_bwd_dkv_kernel, **common),
+        grid=(batch, heads, np_ // block_n, mp // block_m),
+        in_specs=specs("kv"),
+        out_specs=[
+            pl.BlockSpec((1, 1, block_n, d), lambda b, h, j, i: (b, h, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_n, d), lambda b, h, j, i: (b, h, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nb_pad, _HEAD_LANES),
+                         lambda b, h, j, i: (b, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct(kp.shape, jnp.float32),
+            jax.ShapeDtypeStruct(vp.shape, jnp.float32),
+            jax.ShapeDtypeStruct((batch, nb_pad, _HEAD_LANES), jnp.float32),
+        ],
+        compiler_params=_compiler_params(("parallel", "parallel", "parallel", "arbitrary")),
+        interpret=interpret_mode(),
+    )(qp, kp, vp, wp, lsep, deltap, dop)
+
+    dq = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel, **common),
+        grid=(batch, heads, mp // block_m, np_ // block_n),
+        in_specs=specs("q"),
+        out_specs=pl.BlockSpec((1, 1, block_m, d),
+                               lambda b, h, i, j: (b, h, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(qp.shape, jnp.float32),
+        compiler_params=_compiler_params(("parallel", "parallel", "parallel", "arbitrary")),
+        interpret=interpret_mode(),
+    )(qp, kp, vp, wp, lsep, deltap, dop)
+
+    nb, h_real = w.shape
+    dw = jnp.sum(dw_all, axis=0)[:nb, :h_real].astype(w.dtype)
+    return (dq[:, :, :m_len].astype(q.dtype),
+            dk[:, :, :n_len].astype(k.dtype),
+            dv[:, :, :n_len].astype(v.dtype),
+            dw)
+
+
+# ---------------------------------------------------------------------------
+# Public API
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9, 10))
+def _far(q, k, v, w, causal, sm_scale, bidirectional, num_buckets,
+         max_distance, block_m, block_n):
+    o, _ = _fwd(q, k, v, w, causal, sm_scale, bidirectional, num_buckets,
+                max_distance, block_m, block_n)
+    return o
+
+
+def _far_fwd(q, k, v, w, causal, sm_scale, bidirectional, num_buckets,
+             max_distance, block_m, block_n):
+    o, lse = _fwd(q, k, v, w, causal, sm_scale, bidirectional, num_buckets,
+                  max_distance, block_m, block_n)
+    return o, (q, k, v, w, lse, o)
+
+
+def _far_bwd(causal, sm_scale, bidirectional, num_buckets, max_distance,
+             block_m, block_n, res, do):
+    q, k, v, w, lse, o = res
+    return _bwd(q, k, v, w, causal, sm_scale, bidirectional, num_buckets,
+                max_distance, block_m, block_n, lse, o, do)
+
+
+_far.defvjp(_far_fwd, _far_bwd)
+
+
+def flash_attention_rpe(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    rpe_weights: Optional[jnp.ndarray],
+    *,
+    causal: bool = False,
+    sm_scale: float = 1.0,
+    bidirectional: bool = True,
+    num_buckets: int = 32,
+    max_distance: int = 128,
+    block_m: int = DEFAULT_BLOCK_M,
+    block_n: int = DEFAULT_BLOCK_N,
+) -> jnp.ndarray:
+    """Linear-memory RPE flash attention.
+
+    q: (B,H,M,D); k,v: (B,H,N,D); rpe_weights: (num_buckets, H) bucket
+    embedding (the reference passes `relative_attention_bias.weight.t()`,
+    modeling_flash_t5.py:277). With rpe_weights=None (e.g. decoder
+    cross-attention, which has no positional bias) this is plain flash
+    attention.
+    """
+    if rpe_weights is None:
+        from flasht5_tpu.ops.flash_attention import flash_attention
+        return flash_attention(q, k, v, None, causal=causal, sm_scale=sm_scale,
+                               block_m=block_m, block_n=block_n)
+    round16 = lambda x: ((x + 15) // 16) * 16
+    block_m = min(block_m, round16(q.shape[2]))
+    block_n = min(block_n, round16(k.shape[2]))
+    return _far(q, k, v, rpe_weights, causal, sm_scale, bidirectional,
+                num_buckets, max_distance, block_m, block_n)

@@ -1,0 +1,127 @@
+"""INT8 weight-only quantization: quantize/dequantize + fused dequant-matmul.
+
+North-star component (BASELINE.json): the reference has no quantization at
+all; this provides per-output-channel symmetric INT8 weights with a Pallas
+dequant+matmul kernel so weights stream from HBM at half/quarter the bytes of
+bf16/fp32 — decode on TPU is HBM-bandwidth-bound, so weight bytes ≈ decode
+latency.
+
+Kernel design: grid (M/BM, N/BN, K/BK) with K innermost; the int8 weight tile
+is dequantized in VMEM (VPU multiply by the per-column scale) and fed to the
+MXU in bf16; accumulation in an fp32 VMEM scratch tile written out on the
+last K step.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from flasht5_tpu.ops.flash_attention import _compiler_params
+from flasht5_tpu.runtime import interpret_mode
+
+
+class QuantizedTensor(NamedTuple):
+    """Per-output-channel symmetric INT8 tensor: w ≈ qvalues * scales.
+
+    qvalues: (in, out) int8; scales: (1, out) float32.
+    Registered as a pytree (NamedTuple), so it slots into parameter trees.
+    """
+    qvalues: jnp.ndarray
+    scales: jnp.ndarray
+
+    @property
+    def shape(self):
+        return self.qvalues.shape
+
+    @property
+    def ndim(self):
+        return self.qvalues.ndim
+
+
+def quantize_int8(w: jnp.ndarray) -> QuantizedTensor:
+    """Symmetric per-output-channel (last axis) INT8 quantization."""
+    w32 = w.astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(w32), axis=0, keepdims=True)
+    scales = jnp.where(absmax > 0, absmax / 127.0, 1.0)
+    q = jnp.clip(jnp.round(w32 / scales), -127, 127).astype(jnp.int8)
+    return QuantizedTensor(q, scales)
+
+
+def dequantize(qt: QuantizedTensor, dtype=jnp.float32) -> jnp.ndarray:
+    return (qt.qvalues.astype(jnp.float32) * qt.scales).astype(dtype)
+
+
+def quant_matmul_ref(x: jnp.ndarray, qt: QuantizedTensor) -> jnp.ndarray:
+    """jnp oracle: x @ dequant(w)."""
+    return jnp.dot(x, dequantize(qt, x.dtype))
+
+
+# ---------------------------------------------------------------------------
+# Pallas fused dequant-matmul
+# ---------------------------------------------------------------------------
+
+def _qmm_kernel(x_ref, q_ref, s_ref, o_ref, acc_scr, *, n_k: int):
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _init():
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    w = q_ref[...].astype(jnp.bfloat16)          # dequant on VPU
+    x = x_ref[...].astype(jnp.bfloat16)
+    acc_scr[...] += jax.lax.dot_general(
+        x, w, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+
+    @pl.when(k == n_k - 1)
+    def _finalize():
+        o_ref[...] = (acc_scr[...] * s_ref[...].astype(jnp.float32)).astype(o_ref.dtype)
+
+
+def quant_matmul(x: jnp.ndarray, qt: QuantizedTensor,
+                 *, block_m: int = 256, block_n: int = 512,
+                 block_k: int = 512) -> jnp.ndarray:
+    """Fused int8 dequant + matmul. x: (..., K); qt: (K, N) -> (..., N).
+
+    Scales are applied to the fp32 accumulator at the end (exact for
+    per-output-channel scaling), so the MXU runs pure bf16.
+    """
+    orig_shape = x.shape
+    k_dim = orig_shape[-1]
+    n_dim = qt.qvalues.shape[1]
+    x2 = x.reshape(-1, k_dim)
+    m_dim = x2.shape[0]
+
+    bm = min(block_m, max(8, ((m_dim + 7) // 8) * 8))
+    bn = min(block_n, n_dim)
+    bk = min(block_k, k_dim)
+    if n_dim % bn or k_dim % bk:
+        # fall back for awkward shapes; XLA still fuses the dequant
+        return quant_matmul_ref(x, qt)
+
+    pad_m = (-m_dim) % bm
+    if pad_m:
+        x2 = jnp.pad(x2, ((0, pad_m), (0, 0)))
+    grid = (x2.shape[0] // bm, n_dim // bn, k_dim // bk)
+
+    out = pl.pallas_call(
+        functools.partial(_qmm_kernel, n_k=grid[2]),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, bk), lambda i, j, k: (i, k), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk, bn), lambda i, j, k: (k, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda i, j, k: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, k: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((x2.shape[0], n_dim), x.dtype),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        compiler_params=_compiler_params(("parallel", "parallel", "arbitrary")),
+        interpret=interpret_mode(),
+    )(x2, qt.qvalues, qt.scales)
+    return out[:m_dim].reshape(*orig_shape[:-1], n_dim)

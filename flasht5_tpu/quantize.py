@@ -1,0 +1,63 @@
+"""Parameter-tree quantization tool.
+
+Converts every large linear weight in a model pytree to per-channel INT8
+(ops/quant.py QuantizedTensor); norms, biases, positional tables and
+(optionally) embeddings stay high-precision. The model's matmul dispatch
+(models/t5.py _matmul) picks the fused dequant kernel automatically, so a
+quantized tree is a drop-in replacement for forward/generate.
+
+North-star tooling (BASELINE.json): "calibration/quantize tool over imported
+checkpoints"; the Δppl harness lives in bench_quality.py.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+
+from flasht5_tpu.ops.quant import QuantizedTensor, dequantize, quantize_int8
+
+_QUANT_KEYS = ("'Wq'", "'Wk'", "'Wv'", "['o']", "'wi'", "'wi_0'", "'wi_1'",
+               "'wo'", "lm_head")
+
+
+def _should_quantize(path_str: str, leaf) -> bool:
+    if getattr(leaf, "ndim", 0) != 2:
+        return False
+    if "relative_attention_bias" in path_str or "pe_encoding" in path_str:
+        return False
+    return any(k in path_str for k in _QUANT_KEYS)
+
+
+def quantize_params(params: Any) -> Any:
+    """Quantize all eligible linears to INT8. Returns a new pytree."""
+
+    def leaf(path, x):
+        if _should_quantize(jax.tree_util.keystr(path), x):
+            return quantize_int8(x)
+        return x
+
+    return jax.tree_util.tree_map_with_path(
+        leaf, params, is_leaf=lambda x: isinstance(x, QuantizedTensor))
+
+
+def dequantize_params(params: Any, dtype=None) -> Any:
+    def leaf(x):
+        if isinstance(x, QuantizedTensor):
+            return dequantize(x, dtype or x.scales.dtype)
+        return x
+
+    return jax.tree.map(leaf, params,
+                        is_leaf=lambda x: isinstance(x, QuantizedTensor))
+
+
+def quantized_bytes(params: Any) -> int:
+    total = 0
+    for leaf in jax.tree.leaves(params,
+                                is_leaf=lambda x: isinstance(x, QuantizedTensor)):
+        if isinstance(leaf, QuantizedTensor):
+            total += leaf.qvalues.size + leaf.scales.size * 4
+        else:
+            total += leaf.size * leaf.dtype.itemsize
+    return total

@@ -1,0 +1,225 @@
+"""Pretraining/finetuning trainer.
+
+TPU-native replacement for the reference's HF-Trainer-based drivers
+(train_flash_t5.py, SURVEY.md §2.6): a jitted sharded train step over a
+device mesh, Orbax checkpointing with resume (the reference delegates this to
+HF Trainer, SURVEY.md §5 checkpoint/resume), masked-accuracy eval
+(train_flash_t5.py:80-92), tokens/sec logging, warmup-cosine or WSD
+schedules, AdamWScale with no-decay grouping (optimization.py:10-36).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from typing import Any, Callable, Dict, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from flasht5_tpu.config import FlashT5Config
+from flasht5_tpu.models import t5
+from flasht5_tpu.optim import adamw_scale, cosine_schedule, no_decay_mask, wsd_schedule
+from flasht5_tpu.parallel.mesh import make_mesh
+from flasht5_tpu.parallel.sharding import batch_sharding, param_shardings
+
+
+@dataclasses.dataclass
+class TrainerConfig:
+    learning_rate: float = 1e-3
+    adam_beta1: float = 0.9
+    adam_beta2: float = 0.999
+    adam_epsilon: float = 1e-6
+    weight_decay: float = 0.0
+    max_steps: int = 1000
+    warmup_steps: int = 0
+    warmup_ratio: float = 0.0
+    lr_scheduler: str = "cosine"          # "cosine" | "wsd" | "constant"
+    gradient_clip_norm: Optional[float] = None
+    logging_steps: int = 50
+    eval_steps: int = 0                   # 0 = no eval
+    save_steps: int = 0                   # 0 = no checkpoints
+    output_dir: str = "checkpoints"
+    seed: int = 0
+    data_parallel: int = 1
+    tensor_parallel: int = 1
+    kahan_sum: bool = False
+
+
+def masked_accuracy(logits: np.ndarray, labels: np.ndarray) -> float:
+    """Eval metric parity: argmax accuracy over label>0 positions
+    (reference: train_flash_t5.py:80-92)."""
+    preds = logits.argmax(-1)
+    mask = labels > 0
+    if mask.sum() == 0:
+        return 0.0
+    return float((preds[mask] == labels[mask]).mean())
+
+
+class Trainer:
+    def __init__(self, config: FlashT5Config, tcfg: TrainerConfig,
+                 params: Optional[Any] = None):
+        self.config = config
+        self.tcfg = tcfg
+        self.mesh = make_mesh(tcfg.data_parallel, tcfg.tensor_parallel)
+
+        if tcfg.lr_scheduler == "cosine":
+            self.schedule = cosine_schedule(tcfg.learning_rate, tcfg.max_steps,
+                                            tcfg.warmup_steps, tcfg.warmup_ratio)
+        elif tcfg.lr_scheduler == "wsd":
+            self.schedule = wsd_schedule(tcfg.learning_rate, tcfg.max_steps,
+                                         tcfg.warmup_steps, tcfg.warmup_ratio)
+        else:
+            self.schedule = tcfg.learning_rate
+
+        tx = adamw_scale(self.schedule, b1=tcfg.adam_beta1, b2=tcfg.adam_beta2,
+                         eps=tcfg.adam_epsilon, weight_decay=tcfg.weight_decay,
+                         kahan_sum=tcfg.kahan_sum, mask=no_decay_mask)
+        if tcfg.gradient_clip_norm:
+            tx = optax.chain(optax.clip_by_global_norm(tcfg.gradient_clip_norm), tx)
+        self.tx = tx
+
+        abstract = jax.eval_shape(
+            lambda r: t5.init_params(r, config), jax.random.PRNGKey(tcfg.seed))
+        self.shardings = param_shardings(self.mesh, abstract)
+        if params is None:
+            self.params = jax.jit(
+                lambda r: t5.init_params(r, config),
+                out_shardings=self.shardings)(jax.random.PRNGKey(tcfg.seed))
+        else:
+            self.params = jax.device_put(params, self.shardings)
+        self.opt_state = jax.jit(self.tx.init)(self.params)
+        self.step_num = 0
+        self._step_fn = jax.jit(self._make_step(), donate_argnums=(0, 1))
+        self._eval_fn = jax.jit(self._make_eval())
+
+    def _make_step(self):
+        config, tx = self.config, self.tx
+
+        def step(params, opt_state, batch, rng):
+            def loss_fn(p):
+                out = t5.forward(config, p,
+                                 input_ids=batch["input_ids"],
+                                 attention_mask=batch.get("attention_mask"),
+                                 labels=batch["labels"],
+                                 rng=rng, deterministic=False)
+                return out["loss"]
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, {"loss": loss,
+                                       "grad_norm": optax.global_norm(grads)}
+
+        return step
+
+    def _make_eval(self):
+        config = self.config
+
+        def eval_step(params, batch):
+            out = t5.forward(config, params,
+                             input_ids=batch["input_ids"],
+                             attention_mask=batch.get("attention_mask"),
+                             labels=batch["labels"])
+            return out["loss"], out["logits"]
+
+        return eval_step
+
+    def _device_batch(self, batch):
+        bs = batch_sharding(self.mesh)
+        return {k: jax.device_put(jnp.asarray(np.asarray(v)), bs)
+                for k, v in batch.items()}
+
+    # -- checkpointing (Orbax) -------------------------------------------
+
+    def save_checkpoint(self, step: int):
+        import orbax.checkpoint as ocp
+        path = os.path.abspath(os.path.join(self.tcfg.output_dir, f"step_{step}"))
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(path, {"params": self.params,
+                          "opt_state": self.opt_state,
+                          "step": jnp.asarray(step)}, force=True)
+        ckptr.wait_until_finished()
+        return path
+
+    def restore_checkpoint(self, path: str):
+        import orbax.checkpoint as ocp
+        ckptr = ocp.StandardCheckpointer()
+        target = {"params": self.params, "opt_state": self.opt_state,
+                  "step": jnp.asarray(0)}
+        restored = ckptr.restore(os.path.abspath(path), target)
+        self.params = restored["params"]
+        self.opt_state = restored["opt_state"]
+        self.step_num = int(restored["step"])
+        return self.step_num
+
+    @staticmethod
+    def latest_checkpoint(output_dir: str) -> Optional[str]:
+        """Detect prior checkpoints for resume (the reference's glob
+        heuristic, examples/minipile/train_fat5_minipile.py:115-116)."""
+        if not os.path.isdir(output_dir):
+            return None
+        steps = []
+        for name in os.listdir(output_dir):
+            if name.startswith("step_") and name[5:].isdigit():
+                steps.append(int(name[5:]))
+        if not steps:
+            return None
+        return os.path.join(output_dir, f"step_{max(steps)}")
+
+    # -- loops ------------------------------------------------------------
+
+    def train(self, train_iter: Iterable[Dict], eval_iter=None,
+              log_fn: Callable[[Dict], None] = None) -> Dict:
+        rng = jax.random.PRNGKey(self.tcfg.seed + 1)
+        logs = []
+        tokens_seen = 0
+        t_start = time.perf_counter()
+        with self.mesh:
+            for batch in train_iter:
+                if self.step_num >= self.tcfg.max_steps:
+                    break
+                db = self._device_batch(batch)
+                rng, sub = jax.random.split(rng)
+                self.params, self.opt_state, metrics = self._step_fn(
+                    self.params, self.opt_state, db, sub)
+                self.step_num += 1
+                tokens_seen += int(np.prod(batch["input_ids"].shape)) + \
+                    int(np.prod(batch["labels"].shape))
+
+                if self.step_num % self.tcfg.logging_steps == 0 or \
+                        self.step_num == self.tcfg.max_steps:
+                    dt = time.perf_counter() - t_start
+                    entry = {"step": self.step_num,
+                             "loss": float(metrics["loss"]),
+                             "grad_norm": float(metrics["grad_norm"]),
+                             "tokens_per_sec": tokens_seen / max(dt, 1e-9)}
+                    logs.append(entry)
+                    if log_fn:
+                        log_fn(entry)
+
+                if (self.tcfg.eval_steps and eval_iter is not None
+                        and self.step_num % self.tcfg.eval_steps == 0):
+                    logs.append({"step": self.step_num,
+                                 **self.evaluate(eval_iter)})
+
+                if self.tcfg.save_steps and \
+                        self.step_num % self.tcfg.save_steps == 0:
+                    self.save_checkpoint(self.step_num)
+        return {"final_step": self.step_num, "logs": logs}
+
+    def evaluate(self, eval_iter: Iterable[Dict]) -> Dict:
+        losses, accs = [], []
+        with self.mesh:
+            for batch in eval_iter:
+                db = self._device_batch(batch)
+                loss, logits = self._eval_fn(self.params, db)
+                losses.append(float(loss))
+                accs.append(masked_accuracy(np.asarray(logits),
+                                            np.asarray(batch["labels"])))
+        return {"eval_loss": float(np.mean(losses)),
+                "eval_masked_accuracy": float(np.mean(accs)),
+                "eval_perplexity": float(np.exp(np.mean(losses)))}

@@ -1,0 +1,135 @@
+"""Model forward/loss/generate smoke + consistency tests.
+
+Covers the reference's model surface (modeling_flash_t5.py): all four PE
+families, ref vs pallas attention backends, fused vs reference loss
+reduction quirk, shift_right semantics, greedy generate contract.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flasht5_tpu.config import FlashT5Config
+from flasht5_tpu.models import t5
+
+
+def tiny_config(**kw):
+    base = dict(vocab_size=256, d_model=64, d_kv=16, num_heads=4, d_ff=128,
+                num_layers=2, dropout_rate=0.0, use_glu_mlp=True,
+                attention_scale=1.0, max_sequence_length=128)
+    base.update(kw)
+    return FlashT5Config(**base)
+
+
+def _batch(config, b=2, m=16, n=12, seed=0):
+    k1, k2 = jax.random.split(jax.random.PRNGKey(seed))
+    input_ids = jax.random.randint(k1, (b, m), 0, config.vocab_size)
+    labels = jax.random.randint(k2, (b, n), 0, config.vocab_size)
+    return input_ids, labels
+
+
+@pytest.mark.parametrize("pe", ["t5", "ALiBi", "RoPE", "FIRE"])
+def test_forward_all_pe_families(pe):
+    config = tiny_config(position_encoding_type=pe)
+    params = t5.init_params(jax.random.PRNGKey(0), config)
+    input_ids, labels = _batch(config)
+    out = t5.forward(config, params, input_ids=input_ids, labels=labels)
+    assert out["logits"].shape == (2, 12, config.vocab_size)
+    assert np.isfinite(float(out["loss"]))
+
+
+def test_ref_vs_pallas_attention_close():
+    config_ref = tiny_config(attention_type="ref", dtype="float32")
+    config_pls = tiny_config(attention_type="pallas", dtype="float32")
+    params = t5.init_params(jax.random.PRNGKey(0), config_ref)
+    input_ids, labels = _batch(config_ref, m=40, n=24)
+    out_r = t5.forward(config_ref, params, input_ids=input_ids, labels=labels)
+    out_p = t5.forward(config_pls, params, input_ids=input_ids, labels=labels)
+    np.testing.assert_allclose(np.asarray(out_r["logits"]),
+                               np.asarray(out_p["logits"]), atol=2e-3, rtol=1e-2)
+    np.testing.assert_allclose(float(out_r["loss"]), float(out_p["loss"]),
+                               atol=1e-3, rtol=1e-3)
+
+
+def test_loss_reduction_quirk():
+    """Fused loss means over all rows; ref loss over non-ignored only
+    (reference: modeling_flash_t5.py:68 vs :74)."""
+    config = tiny_config()
+    logits = jax.random.normal(jax.random.PRNGKey(0), (1, 8, config.vocab_size))
+    labels = jnp.array([[1, 2, 3, 4, -100, -100, -100, -100]])
+    fused = t5.compute_loss(config.replace(use_fused_crossentropy=True), logits, labels)
+    ref = t5.compute_loss(config, logits, labels)
+    np.testing.assert_allclose(float(fused) * 8 / 4, float(ref), rtol=1e-5)
+
+
+def test_shift_right():
+    config = tiny_config()
+    labels = jnp.array([[5, 6, -100], [7, 8, 9]])
+    shifted = t5.shift_right(config, labels)
+    # pad_token_id default is -100 -> replaced... with pad_token_id itself;
+    # use a real pad id to check the -100 replacement
+    config2 = tiny_config(pad_token_id=0)
+    shifted2 = t5.shift_right(config2, labels)
+    np.testing.assert_array_equal(np.asarray(shifted2),
+                                  [[0, 5, 6], [0, 7, 8]])
+    assert shifted.shape == labels.shape
+
+
+def test_grad_flows_everywhere():
+    config = tiny_config(z_loss=1e-4, label_smoothing=0.1)
+    params = t5.init_params(jax.random.PRNGKey(0), config)
+    input_ids, labels = _batch(config, m=8, n=8)
+
+    def loss_fn(p):
+        return t5.forward(config, p, input_ids=input_ids, labels=labels)["loss"]
+
+    grads = jax.grad(loss_fn)(params)
+    flat = jax.tree_util.tree_leaves_with_path(grads)
+    zero = [jax.tree_util.keystr(kp) for kp, g in flat
+            if not np.any(np.abs(np.asarray(g)) > 0)]
+    assert zero == [], f"zero grads at: {zero}"
+
+
+def test_greedy_generate_contract():
+    config = tiny_config()
+    params = t5.init_params(jax.random.PRNGKey(0), config)
+    input_ids, _ = _batch(config, b=2, m=10)
+    out = t5.greedy_generate(config, params, input_ids, max_length=8)
+    o = np.asarray(out)
+    assert o.shape == (2, 9)
+    assert (o[:, 0] == 0).all()
+    for row in o:
+        eos_pos = np.where(row == config.eos_token_id)[0]
+        assert len(eos_pos) >= 1
+        first = eos_pos[0]
+        assert (row[first + 1:] == 0).all()
+
+
+def test_encoder_only_model():
+    config = tiny_config()
+    params = t5.init_encoder_params(jax.random.PRNGKey(0), config)
+    input_ids, _ = _batch(config, m=12)
+    h = t5.encode(config, params, input_ids)
+    assert h.shape == (2, 12, config.d_model)
+
+
+def test_randomized_positions_train_path():
+    config = tiny_config(use_randomized_position_encoding=True)
+    params = t5.init_params(jax.random.PRNGKey(0), config)
+    input_ids, labels = _batch(config)
+    out = t5.forward(config, params, input_ids=input_ids, labels=labels,
+                     rng=jax.random.PRNGKey(1), deterministic=False)
+    assert np.isfinite(float(out["loss"]))
+
+
+def test_dropout_deterministic_flag():
+    config = tiny_config(dropout_rate=0.5)
+    params = t5.init_params(jax.random.PRNGKey(0), config)
+    input_ids, labels = _batch(config)
+    o1 = t5.forward(config, params, input_ids=input_ids, labels=labels)
+    o2 = t5.forward(config, params, input_ids=input_ids, labels=labels)
+    np.testing.assert_allclose(np.asarray(o1["logits"]), np.asarray(o2["logits"]))
+    o3 = t5.forward(config, params, input_ids=input_ids, labels=labels,
+                    rng=jax.random.PRNGKey(5), deterministic=False)
+    assert not np.allclose(np.asarray(o1["logits"]), np.asarray(o3["logits"]))

@@ -1,0 +1,68 @@
+"""Fused CE vs jnp oracle (test strategy per reference
+tests/cross_entropy_triton/test_cross_entropy.py: real & non-power-of-2
+vocab sizes, z_loss x smoothing grid, loss value + logits grad)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flasht5_tpu.ops.cross_entropy import cross_entropy_loss, cross_entropy_loss_ref
+
+
+def _data(rows, vocab, seed=0, ignore_frac=0.25):
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(seed), 3)
+    logits = jax.random.normal(k1, (rows, vocab), jnp.float32) * 2.0
+    labels = jax.random.randint(k2, (rows,), 0, vocab)
+    ignore = jax.random.uniform(k3, (rows,)) < ignore_frac
+    labels = jnp.where(ignore, -100, labels)
+    return logits, labels
+
+
+@pytest.mark.parametrize("vocab", [32768, 32102])
+@pytest.mark.parametrize("z_loss", [0.0, 1e-4])
+@pytest.mark.parametrize("smoothing", [0.0, 0.1])
+def test_ce_forward(vocab, z_loss, smoothing):
+    logits, labels = _data(64, vocab)
+    loss, z = cross_entropy_loss(logits, labels, z_loss, smoothing)
+    ref_loss, ref_z = cross_entropy_loss_ref(
+        logits, labels, lse_square_scale=z_loss, label_smoothing=smoothing)
+    np.testing.assert_allclose(np.asarray(loss), np.asarray(ref_loss),
+                               atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(z), np.asarray(ref_z),
+                               atol=1e-5, rtol=1e-4)
+
+
+@pytest.mark.parametrize("vocab", [4096, 32102])
+@pytest.mark.parametrize("z_loss", [0.0, 1e-4])
+@pytest.mark.parametrize("smoothing", [0.0, 0.1])
+def test_ce_backward(vocab, z_loss, smoothing):
+    logits, labels = _data(32, vocab)
+
+    def f_fused(lg):
+        return jnp.mean(cross_entropy_loss(lg, labels, z_loss, smoothing)[0])
+
+    def f_ref(lg):
+        losses, _ = cross_entropy_loss_ref(lg, labels, lse_square_scale=z_loss,
+                                           label_smoothing=smoothing)
+        return jnp.mean(losses)
+
+    g = jax.grad(f_fused)(logits)
+    r = jax.grad(f_ref)(logits)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(r), atol=1e-5, rtol=1e-3)
+
+
+def test_ce_odd_rows():
+    logits, labels = _data(13, 512)
+    loss, _ = cross_entropy_loss(logits, labels)
+    ref, _ = cross_entropy_loss_ref(logits, labels)
+    assert loss.shape == (13,)
+    np.testing.assert_allclose(np.asarray(loss), np.asarray(ref), atol=1e-4, rtol=1e-4)
+
+
+def test_ce_bf16_logits():
+    logits, labels = _data(16, 1024)
+    lb = logits.astype(jnp.bfloat16)
+    loss, _ = cross_entropy_loss(lb, labels)
+    ref, _ = cross_entropy_loss_ref(lb, labels)
+    np.testing.assert_allclose(np.asarray(loss), np.asarray(ref), atol=5e-2, rtol=1e-2)

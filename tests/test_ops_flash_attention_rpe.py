@@ -1,0 +1,97 @@
+"""RPE-fused flash attention vs (materialized-bias) oracle.
+
+The oracle is attn_ref with positional.t5_relative_bias — the exact math the
+in-kernel bucket/bias computation must reproduce, including the bucket-weight
+gradient (the capability the reference gets only from its out-of-tree CUDA
+patch, README.md:60)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flasht5_tpu import positional
+from flasht5_tpu.ops.attn_ref import attn_ref
+from flasht5_tpu.ops.flash_attention_rpe import flash_attention_rpe
+
+
+def _setup(b, h, m, n, d, nb=32, maxd=128, seed=0):
+    ks = jax.random.split(jax.random.PRNGKey(seed), 4)
+    q = jax.random.normal(ks[0], (b, h, m, d), jnp.float32)
+    k = jax.random.normal(ks[1], (b, h, n, d), jnp.float32)
+    v = jax.random.normal(ks[2], (b, h, n, d), jnp.float32)
+    w = jax.random.normal(ks[3], (nb, h), jnp.float32) * 0.5
+    return q, k, v, w
+
+
+def _ref_out(q, k, v, w, *, causal, bidirectional, nb, maxd, scale):
+    bias = positional.t5_relative_bias(
+        {"relative_attention_bias": w}, q.shape[2], k.shape[2],
+        bidirectional=bidirectional, num_buckets=nb, max_distance=maxd)
+    return attn_ref(q, k, v, bias, sm_scale=scale, causal=causal)
+
+
+@pytest.mark.parametrize("m,n", [(128, 128), (160, 224), (133, 70)])
+@pytest.mark.parametrize("causal,bidirectional", [(False, True), (True, False)])
+def test_rpe_forward(m, n, causal, bidirectional):
+    nb, maxd, scale = 32, 128, 0.25
+    q, k, v, w = _setup(2, 3, m, n, 64, nb, maxd)
+    out = flash_attention_rpe(q, k, v, w, causal=causal, sm_scale=scale,
+                              bidirectional=bidirectional, num_buckets=nb,
+                              max_distance=maxd)
+    ref = _ref_out(q, k, v, w, causal=causal, bidirectional=bidirectional,
+                   nb=nb, maxd=maxd, scale=scale)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-3,
+                               rtol=1e-2)
+
+
+@pytest.mark.parametrize("m,n", [(128, 128), (96, 160)])
+@pytest.mark.parametrize("causal,bidirectional", [(False, True), (True, False)])
+def test_rpe_backward(m, n, causal, bidirectional):
+    nb, maxd, scale = 32, 128, 0.25
+    b, h, d = 2, 2, 64
+    q, k, v, w = _setup(b, h, m, n, d, nb, maxd)
+    dout = jax.random.normal(jax.random.PRNGKey(9), (b, h, m, d), jnp.float32)
+
+    def f_kernel(q, k, v, w):
+        o = flash_attention_rpe(q, k, v, w, causal=causal, sm_scale=scale,
+                                bidirectional=bidirectional, num_buckets=nb,
+                                max_distance=maxd)
+        return jnp.sum(o * dout)
+
+    def f_ref(q, k, v, w):
+        o = _ref_out(q, k, v, w, causal=causal, bidirectional=bidirectional,
+                     nb=nb, maxd=maxd, scale=scale)
+        return jnp.sum(o * dout)
+
+    gk = jax.grad(f_kernel, argnums=(0, 1, 2, 3))(q, k, v, w)
+    gr = jax.grad(f_ref, argnums=(0, 1, 2, 3))(q, k, v, w)
+    for a, r, name in zip(gk, gr, ["dq", "dk", "dv", "dw"]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r), atol=5e-3,
+                                   rtol=1e-2, err_msg=name)
+
+
+def test_rpe_none_weights_falls_back():
+    q, k, v, _ = _setup(1, 2, 64, 64, 32)
+    out = flash_attention_rpe(q, k, v, None, causal=False, sm_scale=1.0)
+    ref = attn_ref(q, k, v, sm_scale=1.0)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-3,
+                               rtol=1e-2)
+
+
+def test_rpe_model_integration():
+    from flasht5_tpu.config import FlashT5Config
+    from flasht5_tpu.models import t5
+
+    config = FlashT5Config(vocab_size=128, d_model=64, d_kv=16, num_heads=4,
+                           d_ff=128, num_layers=1, dropout_rate=0.0,
+                           attention_type="pallas_rpe", attention_scale=1.0,
+                           dtype="float32")
+    config_ref = config.replace(attention_type="ref")
+    params = t5.init_params(jax.random.PRNGKey(0), config)
+    ids = jax.random.randint(jax.random.PRNGKey(1), (2, 32), 0, 128)
+    lbl = jax.random.randint(jax.random.PRNGKey(2), (2, 16), 0, 128)
+    out = t5.forward(config, params, input_ids=ids, labels=lbl)
+    ref = t5.forward(config_ref, params, input_ids=ids, labels=lbl)
+    np.testing.assert_allclose(np.asarray(out["logits"]),
+                               np.asarray(ref["logits"]), atol=5e-3, rtol=1e-2)

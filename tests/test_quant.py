@@ -1,0 +1,102 @@
+"""INT8 weight-only quantization tests: kernel vs oracle, tree tool,
+end-to-end quantized forward/generate quality."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flasht5_tpu.config import FlashT5Config
+from flasht5_tpu.models import t5
+from flasht5_tpu.ops.quant import (
+    QuantizedTensor,
+    dequantize,
+    quant_matmul,
+    quant_matmul_ref,
+    quantize_int8,
+)
+from flasht5_tpu.quantize import dequantize_params, quantize_params, quantized_bytes
+
+
+def test_quantize_roundtrip_error():
+    w = jax.random.normal(jax.random.PRNGKey(0), (256, 512))
+    qt = quantize_int8(w)
+    assert qt.qvalues.dtype == jnp.int8
+    assert qt.scales.shape == (1, 512)
+    err = np.abs(np.asarray(dequantize(qt)) - np.asarray(w)).max()
+    # max error bounded by scale/2 per channel
+    assert err <= float(np.asarray(qt.scales).max()) * 0.51
+
+
+@pytest.mark.parametrize("m,k,n", [(64, 512, 512), (37, 512, 1024)])
+def test_quant_matmul_kernel(m, k, n):
+    x = jax.random.normal(jax.random.PRNGKey(0), (m, k), jnp.float32)
+    w = jax.random.normal(jax.random.PRNGKey(1), (k, n), jnp.float32) * 0.05
+    qt = quantize_int8(w)
+    out = quant_matmul(x, qt)
+    ref = quant_matmul_ref(x, qt)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-2,
+                               rtol=1e-2)
+
+
+def test_quant_matmul_fallback_shapes():
+    # N not divisible by the block -> jnp fallback path (exact match)
+    x = jax.random.normal(jax.random.PRNGKey(0), (8, 512))
+    w = jax.random.normal(jax.random.PRNGKey(1), (512, 600)) * 0.1
+    qt = quantize_int8(w)
+    np.testing.assert_allclose(np.asarray(quant_matmul(x, qt)),
+                               np.asarray(quant_matmul_ref(x, qt)), atol=1e-5)
+    # small odd shapes run through the kernel with bf16 accuracy
+    x2 = jax.random.normal(jax.random.PRNGKey(2), (8, 100))
+    w2 = jax.random.normal(jax.random.PRNGKey(3), (100, 64)) * 0.1
+    qt2 = quantize_int8(w2)
+    np.testing.assert_allclose(np.asarray(quant_matmul(x2, qt2)),
+                               np.asarray(quant_matmul_ref(x2, qt2)),
+                               atol=2e-2, rtol=1e-2)
+
+
+def test_quantize_params_selectivity():
+    config = FlashT5Config(vocab_size=128, d_model=64, d_kv=16, num_heads=4,
+                           d_ff=128, num_layers=1, dtype="float32")
+    params = t5.init_params(jax.random.PRNGKey(0), config)
+    qp = quantize_params(params)
+    blk = qp["encoder"]["block"][0]
+    assert isinstance(blk["self_attention_layer"]["self_attention"]["Wq"],
+                      QuantizedTensor)
+    assert isinstance(qp["lm_head"], QuantizedTensor)
+    # norms / pe / embeddings untouched
+    assert not isinstance(blk["self_attention_layer"]["layer_norm"]["weight"],
+                          QuantizedTensor)
+    assert not isinstance(qp["shared"]["embedding"], QuantizedTensor)
+    assert not isinstance(
+        blk["self_attention_layer"]["self_attention"]["pe_encoding"]
+        ["relative_attention_bias"], QuantizedTensor)
+    assert quantized_bytes(qp) < quantized_bytes(params) * 0.6
+
+
+def test_quantized_forward_close_and_generate():
+    config = FlashT5Config(vocab_size=256, d_model=64, d_kv=16, num_heads=4,
+                           d_ff=128, num_layers=2, dropout_rate=0.0,
+                           attention_scale=1.0, dtype="float32", pad_token_id=0)
+    params = t5.init_params(jax.random.PRNGKey(0), config)
+    qp = quantize_params(params)
+    ids = jax.random.randint(jax.random.PRNGKey(1), (2, 12), 2, 256)
+    lbl = jax.random.randint(jax.random.PRNGKey(2), (2, 8), 2, 256)
+
+    out_f = t5.forward(config, params, input_ids=ids, labels=lbl)
+    out_q = t5.forward(config, qp, input_ids=ids, labels=lbl)
+    # int8 weight-only should track full precision closely at init scale
+    np.testing.assert_allclose(np.asarray(out_q["logits"]),
+                               np.asarray(out_f["logits"]), atol=0.1, rtol=0.5)
+
+    from flasht5_tpu.inference import generate
+    gen = generate(config, qp, ids, max_length=5)
+    assert gen.shape == (2, 6)
+
+    # dequantize restores a plain tree
+    dq = dequantize_params(qp)
+    assert not isinstance(dq["lm_head"], QuantizedTensor)
+    out_d = t5.forward(config, dq, input_ids=ids, labels=lbl)
+    # kernel computes in bf16, dequantized tree in fp32 — small drift expected
+    np.testing.assert_allclose(np.asarray(out_d["logits"]),
+                               np.asarray(out_q["logits"]), atol=5e-2, rtol=1e-2)

@@ -1,0 +1,82 @@
+"""Trainer loop: loss goes down, checkpoint save/restore resumes, eval
+metrics produced (surface pinned by reference train_flash_t5.py)."""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from flasht5_tpu.config import FlashT5Config
+from flasht5_tpu.train import Trainer, TrainerConfig
+
+
+def tiny_config():
+    return FlashT5Config(vocab_size=128, d_model=32, d_kv=8, num_heads=4,
+                         d_ff=64, num_layers=1, dropout_rate=0.0,
+                         attention_scale=1.0, pad_token_id=0, dtype="float32")
+
+
+def batches(n, b=4, seed=0):
+    rng = np.random.default_rng(seed)
+    for _ in range(n):
+        yield {
+            "input_ids": rng.integers(2, 128, size=(b, 16)).astype(np.int32),
+            "labels": rng.integers(2, 128, size=(b, 8)).astype(np.int32),
+        }
+
+
+def fixed_batch(b=4):
+    rng = np.random.default_rng(1)
+    batch = {
+        "input_ids": rng.integers(2, 128, size=(b, 16)).astype(np.int32),
+        "labels": rng.integers(2, 128, size=(b, 8)).astype(np.int32),
+    }
+    while True:
+        yield batch
+
+
+def test_train_reduces_loss():
+    tr = Trainer(tiny_config(), TrainerConfig(max_steps=30, logging_steps=1,
+                                              learning_rate=5e-3))
+    result = tr.train(fixed_batch())
+    losses = [l["loss"] for l in result["logs"] if "loss" in l]
+    assert losses[-1] < losses[0]
+    assert result["final_step"] == 30
+
+
+def test_eval_metrics():
+    tr = Trainer(tiny_config(), TrainerConfig(max_steps=2))
+    metrics = tr.evaluate(batches(2))
+    assert set(metrics) == {"eval_loss", "eval_masked_accuracy",
+                            "eval_perplexity"}
+    assert 0.0 <= metrics["eval_masked_accuracy"] <= 1.0
+    assert np.isfinite(metrics["eval_perplexity"])
+
+
+def test_checkpoint_save_restore(tmp_path):
+    cfg = TrainerConfig(max_steps=5, logging_steps=1,
+                        output_dir=str(tmp_path / "ckpt"))
+    tr = Trainer(tiny_config(), cfg)
+    tr.train(batches(5))
+    path = tr.save_checkpoint(tr.step_num)
+    assert os.path.isdir(path)
+
+    tr2 = Trainer(tiny_config(), cfg)
+    step = tr2.restore_checkpoint(path)
+    assert step == 5
+    a = jax.tree_util.tree_leaves(tr.params)
+    b = jax.tree_util.tree_leaves(tr2.params)
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y))
+
+    assert Trainer.latest_checkpoint(cfg.output_dir).endswith("step_5")
+    assert Trainer.latest_checkpoint(str(tmp_path / "none")) is None
+
+
+def test_data_parallel_trainer():
+    tr = Trainer(tiny_config(), TrainerConfig(max_steps=3, data_parallel=4,
+                                              logging_steps=1))
+    result = tr.train(batches(3, b=8))
+    assert result["final_step"] == 3
+    assert np.isfinite(result["logs"][-1]["loss"])

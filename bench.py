@@ -29,9 +29,11 @@ def main():
     batch, enc_len, dec_len = (8, 1024, 256) if on_tpu else (2, 128, 64)
 
     rng = jax.random.PRNGKey(0)
-    params = t5.init_params(rng, config)
+    # jit the init: eager init is hundreds of tiny dispatches (slow over the
+    # remote tunnel); one compiled program instead.
+    params = jax.jit(lambda r: t5.init_params(r, config))(rng)
     tx = adamw_scale(1e-3, weight_decay=0.0, mask=no_decay_mask)
-    opt_state = tx.init(params)
+    opt_state = jax.jit(tx.init)(params)
 
     input_ids = jax.random.randint(jax.random.PRNGKey(1), (batch, enc_len), 0,
                                    config.vocab_size, dtype=jnp.int32)

@@ -194,9 +194,30 @@ class DataCollatorForUL2:
 
     def _best_fit(self, inputs: List, labels: List):
         """Greedy first-fit packing into <= batch_size bins bounded by input
-        length, label length and sentinel budget (reference spec: :49-87)."""
-        out_inputs, out_labels = [], []
+        length, label length and sentinel budget (reference spec: :49-87).
+
+        Dispatches to the native C++ core (flasht5_tpu/native/ul2_core.cpp)
+        when available — identical assignment, tight loops instead of Python
+        per-bin rescans — with this numpy implementation as fallback."""
+        from flasht5_tpu.native import native_best_fit
+
         n_sentinels = len(self.extra_ids)
+        assign = native_best_fit(
+            np.asarray([x.shape[1] for x in inputs], np.int64),
+            np.asarray([y.shape[1] for y in labels], np.int64),
+            np.asarray([int(self.is_sentinel(x).sum()) for x in inputs], np.int64),
+            self.max_length, self.max_labels_length, n_sentinels,
+            self.batch_size)
+        if assign is not None:
+            out_inputs, out_labels = [], []
+            for b in range(self.batch_size):
+                idx = [i for i, a in enumerate(assign) if a == b]
+                if idx:
+                    out_inputs.append(np.concatenate([inputs[i] for i in idx], axis=1))
+                    out_labels.append(np.concatenate([labels[i] for i in idx], axis=1))
+            return out_inputs, out_labels
+
+        out_inputs, out_labels = [], []
         for _ in range(self.batch_size):
             bin_in, bin_lb = [], []
             len_in = len_lb = n_special = 0

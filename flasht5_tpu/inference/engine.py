@@ -1,0 +1,303 @@
+"""Continuous-batching inference engine for encode+decode request mixes.
+
+North-star component (BASELINE.json: "continuous batching of encode+decode
+requests ... across hosts"); the reference has no serving layer at all.
+
+TPU-native design constraints drive the architecture (SURVEY.md §7 hard
+part #2): XLA wants static shapes, so the engine runs a fixed-size decode
+slot pool — `max_slots` sequences decode in lockstep with per-slot state
+(position, done flag) — and admits new requests by (a) running a bucketed
+encoder prefill (padded to the nearest bucket length, compiled once per
+bucket) and (b) writing the new sequence's cross K/V and reset self K/V into
+a free slot with `dynamic_update_slice`. One compiled `decode_step` serves
+every mix of in-flight sequences; finished slots are harvested and refilled
+between steps. This is the slot-based continuous batching used by production
+TPU servers, as opposed to the GPU-style fully dynamic batching the XLA
+compilation model penalizes.
+
+The per-step host<->device control flow is a single scalar sync (the set of
+finished slots), keeping the loop latency at one tunnel round-trip.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from flasht5_tpu.config import FlashT5Config
+from flasht5_tpu.inference import kv_cache
+from flasht5_tpu.models import t5
+
+
+@dataclasses.dataclass
+class Request:
+    uid: int
+    input_ids: np.ndarray           # (L,) int32
+    max_new_tokens: int = 32
+    result: Optional[np.ndarray] = None  # filled when finished
+
+
+@dataclasses.dataclass
+class EngineConfig:
+    max_slots: int = 8               # concurrent decoding sequences
+    max_decode_len: int = 64         # self-KV capacity per slot
+    max_encode_len: int = 512        # cross-KV capacity per slot
+    encode_buckets: Tuple[int, ...] = (64, 128, 256, 512)
+
+
+class BatchState:
+    """Device-side slot pool: shared KV caches + per-slot scalars."""
+
+    def __init__(self, config: FlashT5Config, params, ecfg: EngineConfig):
+        b, h, dkv = ecfg.max_slots, config.num_heads, config.d_kv
+        dt = jnp.dtype(config.dtype)
+        n_layers = len(params["decoder"]["block"])
+        self.layers = tuple(
+            kv_cache.LayerCache(
+                self_k=jnp.zeros((b, h, ecfg.max_decode_len, dkv), dt),
+                self_v=jnp.zeros((b, h, ecfg.max_decode_len, dkv), dt),
+                cross_k=jnp.zeros((b, h, ecfg.max_encode_len, dkv), dt),
+                cross_v=jnp.zeros((b, h, ecfg.max_encode_len, dkv), dt),
+            ) for _ in range(n_layers))
+        self.enc_len = jnp.zeros((b,), jnp.int32)        # valid cross positions
+        self.pos = jnp.zeros((b,), jnp.int32)            # next decode position
+        self.cur_token = jnp.zeros((b,), jnp.int32)      # last emitted token
+        self.active = jnp.zeros((b,), jnp.bool_)
+        self.budget = jnp.zeros((b,), jnp.int32)         # remaining new tokens
+
+
+class InferenceEngine:
+    """Greedy continuous-batching engine over a slot pool.
+
+    Usage:
+        engine = InferenceEngine(config, params, EngineConfig(...))
+        results = engine.run(requests)   # list of np token arrays per request
+    """
+
+    def __init__(self, config: FlashT5Config, params, ecfg: EngineConfig):
+        self.config = config
+        self.params = params
+        self.ecfg = ecfg
+        self.state = BatchState(config, params, ecfg)
+        self._encode_fns: Dict[int, Callable] = {}
+        self._step_fn = jax.jit(self._make_step())
+        self._insert_fn = jax.jit(self._make_insert())
+
+    # -- prefill -----------------------------------------------------------
+
+    def _bucket_for(self, length: int) -> int:
+        for b in self.ecfg.encode_buckets:
+            if length <= b:
+                return b
+        return self.ecfg.encode_buckets[-1]
+
+    def _encode_fn(self, bucket: int) -> Callable:
+        if bucket not in self._encode_fns:
+            config, params = self.config, self.params
+
+            def run(params, ids):
+                enc = t5.encode(config, params, ids)
+                # per-layer cross K/V for this sequence
+                outs = []
+                for blk in params["decoder"]["block"]:
+                    ca = blk["cross_attention_layer"]["cross_attention"]
+                    outs.append((
+                        kv_cache._proj_heads(enc, ca["Wk"], config.num_heads,
+                                             config.d_kv),
+                        kv_cache._proj_heads(enc, ca["Wv"], config.num_heads,
+                                             config.d_kv),
+                    ))
+                return outs
+
+            self._encode_fns[bucket] = jax.jit(run)
+        return self._encode_fns[bucket]
+
+    def _make_insert(self):
+        """Write one prefilled sequence into slot `slot` and reset it."""
+        ecfg = self.ecfg
+
+        def insert(layers, enc_len, pos, cur_token, active, budget,
+                   cross_kvs, slot, true_len, max_new):
+            new_layers = []
+            for cache, (ck, cv) in zip(layers, cross_kvs):
+                pad = ecfg.max_encode_len - ck.shape[2]
+                ckp = jnp.pad(ck, ((0, 0), (0, 0), (0, pad), (0, 0)))
+                cvp = jnp.pad(cv, ((0, 0), (0, 0), (0, pad), (0, 0)))
+                cross_k = jax.lax.dynamic_update_slice(
+                    cache.cross_k, ckp.astype(cache.cross_k.dtype), (slot, 0, 0, 0))
+                cross_v = jax.lax.dynamic_update_slice(
+                    cache.cross_v, cvp.astype(cache.cross_v.dtype), (slot, 0, 0, 0))
+                zero_k = jnp.zeros_like(cache.self_k[0:1])
+                self_k = jax.lax.dynamic_update_slice(cache.self_k, zero_k,
+                                                      (slot, 0, 0, 0))
+                self_v = jax.lax.dynamic_update_slice(cache.self_v, zero_k,
+                                                      (slot, 0, 0, 0))
+                new_layers.append(kv_cache.LayerCache(self_k, self_v,
+                                                      cross_k, cross_v))
+            enc_len = enc_len.at[slot].set(true_len)
+            pos = pos.at[slot].set(0)
+            cur_token = cur_token.at[slot].set(0)  # decoder start token
+            active = active.at[slot].set(True)
+            budget = budget.at[slot].set(max_new)
+            return tuple(new_layers), enc_len, pos, cur_token, active, budget
+
+        return insert
+
+    # -- decode ------------------------------------------------------------
+
+    def _make_step(self):
+        config, ecfg = self.config, self.ecfg
+
+        def step(params, layers, enc_len, pos, cur_token, active, budget):
+            """One lockstep decode step for all slots (inactive slots run too
+            — their outputs are masked; static shapes keep XLA happy)."""
+            b = ecfg.max_slots
+            h, dkv = config.num_heads, config.d_kv
+            emb = params["shared"]["embedding"]
+            x = jnp.take(emb, cur_token, axis=0).astype(
+                jnp.dtype(config.dtype))[:, None, :]
+
+            kpos = jnp.arange(ecfg.max_decode_len, dtype=jnp.int32)
+            self_valid = kpos[None, :] <= pos[:, None]         # (B, L)
+            cpos = jnp.arange(ecfg.max_encode_len, dtype=jnp.int32)
+            cross_valid = cpos[None, :] < enc_len[:, None]
+
+            new_layers = []
+            self_bias = None
+            for li, blk in enumerate(params["decoder"]["block"]):
+                cache = layers[li]
+                sa = blk["self_attention_layer"]["self_attention"]
+                normed = t5._layer_norm(
+                    config, blk["self_attention_layer"]["layer_norm"]["weight"], x)
+                q = kv_cache._proj_heads(normed, sa["Wq"], h, dkv)
+                k_new = kv_cache._proj_heads(normed, sa["Wk"], h, dkv)
+                v_new = kv_cache._proj_heads(normed, sa["Wv"], h, dkv)
+
+                # per-slot scatter of the new K/V at each slot's position
+                oh = (kpos[None, :] == pos[:, None]).astype(cache.self_k.dtype)
+                self_k = cache.self_k + oh[:, None, :, None] * k_new
+                self_v = cache.self_v + oh[:, None, :, None] * v_new
+
+                if li == 0 and config.position_encoding_type == "t5":
+                    pe = sa.get("pe_encoding")
+                    # per-slot bias row: bucket(k - pos_slot) -> (B,H,1,L)
+                    rel = kpos[None, :] - pos[:, None]
+                    from flasht5_tpu.positional import relative_position_bucket
+                    buckets = relative_position_bucket(
+                        rel, bidirectional=False,
+                        num_buckets=config.relative_attention_num_buckets,
+                        max_distance=config.relative_attention_max_distance)
+                    vals = jnp.take(pe["relative_attention_bias"], buckets,
+                                    axis=0)                    # (B, L, H)
+                    self_bias = jnp.transpose(vals, (0, 2, 1))[:, :, None, :]
+
+                s = jnp.einsum("bhqd,bhnd->bhqn", q.astype(jnp.float32),
+                               self_k.astype(jnp.float32)) * config.softmax_scale
+                if self_bias is not None:
+                    s = s + self_bias.astype(jnp.float32)
+                s = jnp.where(self_valid[:, None, None, :], s, -1e30)
+                p = jax.nn.softmax(s, axis=-1)
+                attn = jnp.einsum("bhqn,bhnd->bhqd", p,
+                                  self_v.astype(jnp.float32)).astype(x.dtype)
+                attn = jnp.transpose(attn, (0, 2, 1, 3)).reshape(b, 1, h * dkv)
+                x = x + t5._matmul(attn, sa["o"])
+
+                ca = blk["cross_attention_layer"]["cross_attention"]
+                normed = t5._layer_norm(
+                    config, blk["cross_attention_layer"]["layer_norm"]["weight"], x)
+                qc = kv_cache._proj_heads(normed, ca["Wq"], h, dkv)
+                s = jnp.einsum("bhqd,bhnd->bhqn", qc.astype(jnp.float32),
+                               cache.cross_k.astype(jnp.float32)) * config.softmax_scale
+                s = jnp.where(cross_valid[:, None, None, :], s, -1e30)
+                p = jax.nn.softmax(s, axis=-1)
+                attn = jnp.einsum("bhqn,bhnd->bhqd", p,
+                                  cache.cross_v.astype(jnp.float32)).astype(x.dtype)
+                attn = jnp.transpose(attn, (0, 2, 1, 3)).reshape(b, 1, h * dkv)
+                x = x + t5._matmul(attn, ca["o"])
+
+                x = t5._ff(config, blk["ff_layer"], x, rng=None,
+                           deterministic=True)
+                new_layers.append(cache._replace(self_k=self_k, self_v=self_v))
+
+            x = t5._layer_norm(config,
+                               params["decoder"]["final_layer_norm"]["weight"], x)
+            if config.tie_word_embeddings:
+                logits = jnp.dot(x, emb.T.astype(x.dtype))
+            else:
+                logits = t5._matmul(x, params["lm_head"])
+            nxt = jnp.argmax(logits[:, 0], axis=-1).astype(jnp.int32)
+
+            budget = jnp.where(active, budget - 1, budget)
+            hit_eos = nxt == config.eos_token_id
+            out_of_room = (pos + 1 >= ecfg.max_decode_len) | (budget <= 0)
+            finished = active & (hit_eos | out_of_room)
+            cur_token = jnp.where(active, nxt, cur_token)
+            pos = jnp.where(active, pos + 1, pos)
+            active = active & ~finished
+            return (tuple(new_layers), enc_len, pos, cur_token, active,
+                    budget, nxt, finished)
+
+        return step
+
+    # -- host-side scheduler ----------------------------------------------
+
+    def run(self, requests: List[Request]) -> List[Request]:
+        """Serve all requests to completion; returns them with .result set
+        (token array WITHOUT the leading start token, EOS-terminated)."""
+        queue = list(requests)
+        slots: List[Optional[Request]] = [None] * self.ecfg.max_slots
+        emitted: List[List[int]] = [[] for _ in range(self.ecfg.max_slots)]
+        st = self.state
+
+        def admit():
+            nonlocal st
+            for i in range(self.ecfg.max_slots):
+                if slots[i] is None and queue:
+                    req = queue.pop(0)
+                    L = min(len(req.input_ids), self.ecfg.max_encode_len)
+                    bucket = self._bucket_for(L)
+                    padded = np.zeros((1, bucket), np.int32)
+                    padded[0, :L] = req.input_ids[:L]
+                    cross = self._encode_fn(bucket)(self.params,
+                                                    jnp.asarray(padded))
+                    # parity with the reference's no-masking cross-attention
+                    # (modeling_flash_t5.py:266-270 applies masks only via
+                    # use_masking): attend the full padded bucket, exactly
+                    # what a bucketed generate() sees.
+                    out = self._insert_fn(
+                        st.layers, st.enc_len, st.pos, st.cur_token,
+                        st.active, st.budget, cross, i, bucket,
+                        min(req.max_new_tokens, self.ecfg.max_decode_len - 1))
+                    (st.layers, st.enc_len, st.pos, st.cur_token, st.active,
+                     st.budget) = out
+                    slots[i] = req
+                    emitted[i] = []
+
+        admit()
+        while any(s is not None for s in slots):
+            out = self._step_fn(self.params, st.layers, st.enc_len, st.pos,
+                                st.cur_token, st.active, st.budget)
+            (st.layers, st.enc_len, st.pos, st.cur_token, st.active,
+             st.budget, nxt, finished) = out
+            nxt_h = np.asarray(nxt)          # single sync point per step
+            fin_h = np.asarray(finished)
+            for i, req in enumerate(slots):
+                if req is None:
+                    continue
+                emitted[i].append(int(nxt_h[i]))
+                if fin_h[i]:
+                    toks = list(emitted[i])
+                    if self.config.eos_token_id in toks:
+                        toks = toks[:toks.index(self.config.eos_token_id) + 1]
+                    else:
+                        # reference contract: the boundary position is forced
+                        # to EOS (modeling_flash_t5.py:683)
+                        toks[-1] = self.config.eos_token_id
+                    req.result = np.asarray(toks, np.int32)
+                    slots[i] = None
+            admit()
+        return requests

@@ -12,13 +12,14 @@ gradient in-kernel.
 TPU-first design:
 - The relative-position bucket function (positional.relative_position_bucket)
   is evaluated on (BM, BN) index tiles with VPU integer/log ops.
-- The bias tile is a one-hot matmul on the MXU:
-  onehot(bucket) @ w[:, h] — (BM·BN, NB) x (NB, 1).
-- The bucket-weight gradient reuses the same one-hot: per-bucket sums
-  onehot^T @ g, accumulated into a per-batch (NB, 128) VMEM tile that stays
-  resident across the whole (h, j, i) sweep (TPU grids are sequential), then
-  reduced over batch by XLA. This solves the scatter-add the reference
-  sidesteps (SURVEY.md §7 "hard parts" #1).
+- The bucket-weight table lives in SMEM; the bias tile is an unrolled
+  NB-way compare+select chain against dynamic SMEM scalar reads (gather-free,
+  Mosaic-lowerable; NB=32 selects per tile is noise next to the qk matmul).
+- The bucket-weight gradient is NB per-bucket masked scalar reductions of the
+  score-gradient tile, written to head-h's lane of a per-batch (NB, 128)
+  VMEM accumulator that stays resident across the whole (h, j, i) sweep
+  (TPU grids are sequential), then reduced over batch by XLA. This solves
+  the scatter-add the reference sidesteps (SURVEY.md §7 "hard parts" #1).
 """
 
 from __future__ import annotations
@@ -73,20 +74,18 @@ def _bucket_tile(i, j, block_m, block_n, *, bidirectional, num_buckets,
     return out + jnp.where(is_small, rel, large)
 
 
-def _bias_from_buckets(bucket, w_tile, h, num_buckets, block_m, block_n):
-    """bias (BM, BN) = w[bucket, h] via one-hot MXU matmul.
+def _bias_from_buckets(bucket, w_ref, h, num_buckets):
+    """bias (BM, BN) = w[bucket, h] via an unrolled per-bucket select chain.
 
-    w_tile: (NB, _HEAD_LANES) VMEM tile (heads along lanes, padded).
+    w_ref: (NB, H) fp32 SMEM table; `h` is the (traced) head index, so the
+    per-bucket weight is a dynamic SMEM scalar read — Mosaic lowers the loop
+    to NB compare+select VPU ops, no gathers or reshapes.
     """
-    lane = jax.lax.broadcasted_iota(jnp.int32, (num_buckets, _HEAD_LANES), 1)
-    w_col = jnp.sum(jnp.where(lane == h, w_tile.astype(jnp.float32), 0.0),
-                    axis=1, keepdims=True)                    # (NB, 1)
-    flat = bucket.reshape(block_m * block_n, 1)
-    onehot = (flat == jax.lax.broadcasted_iota(
-        jnp.int32, (block_m * block_n, num_buckets), 1)).astype(jnp.float32)
-    bias = jax.lax.dot_general(onehot, w_col, (((1,), (0,)), ((), ())),
-                               preferred_element_type=jnp.float32)
-    return bias.reshape(block_m, block_n), onehot
+    bias = jnp.zeros(bucket.shape, jnp.float32)
+    for b in range(num_buckets):
+        w_b = w_ref[b, h]
+        bias = bias + jnp.where(bucket == b, w_b, 0.0)
+    return bias
 
 
 # ---------------------------------------------------------------------------
@@ -123,9 +122,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, w_ref, o_ref, lse_ref,
                               bidirectional=bidirectional,
                               num_buckets=num_buckets,
                               max_distance=max_distance)
-        bias, _ = _bias_from_buckets(bucket, w_ref[...], h, num_buckets,
-                                     block_m, block_n)
-        s = s + bias
+        s = s + _bias_from_buckets(bucket, w_ref, h, num_buckets)
 
         rows = i * block_m + jax.lax.broadcasted_iota(jnp.int32, (block_m, block_n), 0)
         cols = j * block_n + jax.lax.broadcasted_iota(jnp.int32, (block_m, block_n), 1)
@@ -154,10 +151,8 @@ def _fwd_kernel(q_ref, k_ref, v_ref, w_ref, o_ref, lse_ref,
 
 
 def _prep_w(w):
-    """(NB, H) -> (NB_pad8, 128) fp32 tile for VMEM."""
-    nb, h = w.shape
-    wp = jnp.zeros((max(8, ((nb + 7) // 8) * 8), _HEAD_LANES), jnp.float32)
-    return wp.at[:nb, :h].set(w.astype(jnp.float32))
+    """(NB, H) fp32 scalar table for SMEM."""
+    return w.astype(jnp.float32)
 
 
 def _fwd(q, k, v, w, causal, sm_scale, bidirectional, num_buckets,
@@ -186,7 +181,7 @@ def _fwd(q, k, v, w, causal, sm_scale, bidirectional, num_buckets,
             pl.BlockSpec((1, 1, block_n, d), lambda b, h, i, j: (b, h, j, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(wp.shape, lambda b, h, i, j: (0, 0),
-                         memory_space=pltpu.VMEM),
+                         memory_space=pltpu.SMEM),
         ],
         out_specs=[
             pl.BlockSpec((1, 1, block_m, d), lambda b, h, i, j: (b, h, i, 0),
@@ -244,9 +239,7 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, w_ref, lse_ref, delta_ref, do_ref,
                               bidirectional=bidirectional,
                               num_buckets=num_buckets,
                               max_distance=max_distance)
-        bias, onehot = _bias_from_buckets(bucket, w_ref[...], h, num_buckets,
-                                          block_m, block_n)
-        s = s + bias
+        s = s + _bias_from_buckets(bucket, w_ref, h, num_buckets)
         rows = i * block_m + jax.lax.broadcasted_iota(jnp.int32, (block_m, block_n), 0)
         cols = j * block_n + jax.lax.broadcasted_iota(jnp.int32, (block_m, block_n), 1)
         mask = (cols < n_len) & (rows < m_len)
@@ -270,13 +263,12 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, w_ref, lse_ref, delta_ref, do_ref,
             g.astype(q_ref.dtype), q_ref[0, 0], (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32) * sm_scale
 
-        # bucket-weight gradient: per-bucket sums of g, scattered to head h
-        sums = jax.lax.dot_general(onehot, g.reshape(block_m * block_n, 1),
-                                   (((0,), (0,)), ((), ())),
-                                   preferred_element_type=jnp.float32)  # (NB,1)
-        lane = jax.lax.broadcasted_iota(jnp.int32, (num_buckets, _HEAD_LANES), 1)
-        scat = jnp.where(lane == h, sums, 0.0)              # (NB, LANES)
-        dw_ref[0, :num_buckets, :] += scat
+        # bucket-weight gradient: per-bucket scalar sums of g, written to
+        # head-h's lane of a resident per-batch (NB, LANES) accumulator tile
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, _HEAD_LANES), 1)
+        for bkt in range(num_buckets):
+            s_b = jnp.sum(jnp.where(bucket == bkt, g, 0.0))
+            dw_ref[0, bkt:bkt + 1, :] += jnp.where(lane == h, s_b, 0.0)
 
 
 def _bwd_dq_kernel(q_ref, k_ref, v_ref, w_ref, lse_ref, delta_ref, do_ref,
@@ -304,9 +296,7 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, w_ref, lse_ref, delta_ref, do_ref,
                               bidirectional=bidirectional,
                               num_buckets=num_buckets,
                               max_distance=max_distance)
-        bias, _ = _bias_from_buckets(bucket, w_ref[...], h, num_buckets,
-                                     block_m, block_n)
-        s = s + bias
+        s = s + _bias_from_buckets(bucket, w_ref, h, num_buckets)
         rows = i * block_m + jax.lax.broadcasted_iota(jnp.int32, (block_m, block_n), 0)
         cols = j * block_n + jax.lax.broadcasted_iota(jnp.int32, (block_m, block_n), 1)
         mask = (cols < n_len) & (rows < m_len)
@@ -336,7 +326,7 @@ def _bwd(q, k, v, w, causal, sm_scale, bidirectional, num_buckets,
     dop = _pad_to(do, 2, block_m)
     mp, np_ = qp.shape[2], kp.shape[2]
     wp = _prep_w(w)
-    nb_pad = wp.shape[0]
+    nb_pad = max(8, ((w.shape[0] + 7) // 8) * 8)
 
     delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)
     deltap = _pad_to(delta, 2, block_m)[..., None]
@@ -360,7 +350,7 @@ def _bwd(q, k, v, w, causal, sm_scale, bidirectional, num_buckets,
             pl.BlockSpec((1, 1, block_m, d), qi, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, block_n, d), ki, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, block_n, d), ki, memory_space=pltpu.VMEM),
-            pl.BlockSpec(wp.shape, (lambda *a: (0, 0)), memory_space=pltpu.VMEM),
+            pl.BlockSpec(wp.shape, (lambda *a: (0, 0)), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, block_m, 1), ri, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, block_m, 1), ri, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, block_m, d), qi, memory_space=pltpu.VMEM),

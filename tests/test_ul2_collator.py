@@ -145,3 +145,28 @@ def test_eos_terminates_labels():
     for row in batch["labels"]:
         valid = row[row != -100]
         assert valid[-1] == 1  # eos
+
+
+def test_native_core_matches_constraints():
+    """Native C++ packing respects the same bin constraints as the numpy
+    fallback and produces a legal assignment."""
+    import numpy as np
+    from flasht5_tpu.native import load_ul2_core, native_best_fit, native_noise_mask
+
+    if load_ul2_core() is None:
+        import pytest
+        pytest.skip("native lib unavailable")
+    rng = np.random.default_rng(0)
+    li = rng.integers(5, 60, 64)
+    ll = rng.integers(3, 30, 64)
+    ns = rng.integers(0, 10, 64)
+    out = native_best_fit(li, ll, ns, 128, 64, 100, 8)
+    for b in range(8):
+        idx = out == b
+        assert li[idx].sum() < 128
+        assert ll[idx].sum() < 64
+        assert ns[idx].sum() < 100
+    # single-suffix span (S-denoiser)
+    m = native_noise_mask(40, 4.0, 0.0, 1, 1)
+    changes = np.diff(m.astype(int))
+    assert (changes == 1).sum() == 1 and (changes == -1).sum() == 0

@@ -95,6 +95,15 @@ class FlashT5Config:
     param_dtype: str = "float32"     # parameter storage dtype
     remat: bool = False              # jax.checkpoint each block
     decode_block_size: int = 128     # KV-cache padding granularity
+    # Roll identical blocks (1..N-1) into one lax.scan: ~Nx smaller HLO and
+    # compile time; numerics identical. Block 0 stays unrolled (it owns the
+    # positional encoding).
+    scan_blocks: bool = True
+    # Set inside shard_map tensor-parallel regions: the mesh axis name over
+    # which attention heads / MLP / vocab are sharded. When set, the model
+    # inserts psums after row-parallel matmuls and uses the vocab-parallel
+    # loss. None = single-shard semantics (pjit/GSPMD handles any sharding).
+    tp_axis: Optional[str] = None
 
     def __post_init__(self):
         object.__setattr__(

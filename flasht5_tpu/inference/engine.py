@@ -22,6 +22,7 @@ finished slots), keeping the loop latency at one tunnel round-trip.
 from __future__ import annotations
 
 import dataclasses
+import typing
 from typing import Any, Callable, Dict, List, Optional, Tuple
 
 import jax
@@ -31,6 +32,7 @@ import numpy as np
 from flasht5_tpu.config import FlashT5Config
 from flasht5_tpu.inference import kv_cache
 from flasht5_tpu.models import t5
+from flasht5_tpu.ops.quant import dequantize_kv, quantize_kv
 
 
 @dataclasses.dataclass
@@ -47,6 +49,31 @@ class EngineConfig:
     max_decode_len: int = 64         # self-KV capacity per slot
     max_encode_len: int = 512        # cross-KV capacity per slot
     encode_buckets: Tuple[int, ...] = (64, 128, 256, 512)
+    kv_dtype: str = "native"         # "native" | "int8" (quantized caches)
+
+
+class KVTensor(typing.NamedTuple):
+    """(values, scales) cache tensor; scales None for native dtype.
+
+    INT8 layout (north-star): values (B,H,L,D) int8 + per-(slot,head,pos)
+    fp32 scales (B,H,L,1). HBM decode reads shrink 2-4x vs bf16/fp32 —
+    decode is bandwidth-bound, so this is directly TTFT/throughput.
+    """
+    values: jnp.ndarray
+    scales: Optional[jnp.ndarray] = None
+
+
+def _kv_read(kv: KVTensor, dtype=jnp.float32) -> jnp.ndarray:
+    if kv.scales is None:
+        return kv.values.astype(dtype)
+    return dequantize_kv(kv.values, kv.scales, dtype)
+
+
+def _kv_make(x: jnp.ndarray, quantized: bool) -> KVTensor:
+    if not quantized:
+        return KVTensor(x)
+    q, sc = quantize_kv(x)
+    return KVTensor(q, sc)
 
 
 class BatchState:
@@ -54,14 +81,21 @@ class BatchState:
 
     def __init__(self, config: FlashT5Config, params, ecfg: EngineConfig):
         b, h, dkv = ecfg.max_slots, config.num_heads, config.d_kv
-        dt = jnp.dtype(config.dtype)
+        quant = ecfg.kv_dtype == "int8"
+        dt = jnp.int8 if quant else jnp.dtype(config.dtype)
         n_layers = len(params["decoder"]["block"])
+
+        def kv(length):
+            vals = jnp.zeros((b, h, length, dkv), dt)
+            scales = jnp.zeros((b, h, length, 1), jnp.float32) if quant else None
+            return KVTensor(vals, scales)
+
         self.layers = tuple(
             kv_cache.LayerCache(
-                self_k=jnp.zeros((b, h, ecfg.max_decode_len, dkv), dt),
-                self_v=jnp.zeros((b, h, ecfg.max_decode_len, dkv), dt),
-                cross_k=jnp.zeros((b, h, ecfg.max_encode_len, dkv), dt),
-                cross_v=jnp.zeros((b, h, ecfg.max_encode_len, dkv), dt),
+                self_k=kv(ecfg.max_decode_len),
+                self_v=kv(ecfg.max_decode_len),
+                cross_k=kv(ecfg.max_encode_len),
+                cross_v=kv(ecfg.max_encode_len),
             ) for _ in range(n_layers))
         self.enc_len = jnp.zeros((b,), jnp.int32)        # valid cross positions
         self.pos = jnp.zeros((b,), jnp.int32)            # next decode position
@@ -120,6 +154,23 @@ class InferenceEngine:
         """Write one prefilled sequence into slot `slot` and reset it."""
         ecfg = self.ecfg
 
+        quant = ecfg.kv_dtype == "int8"
+
+        def put(kv: KVTensor, new: KVTensor, slot) -> KVTensor:
+            vals = jax.lax.dynamic_update_slice(
+                kv.values, new.values.astype(kv.values.dtype), (slot, 0, 0, 0))
+            scales = kv.scales
+            if scales is not None:
+                scales = jax.lax.dynamic_update_slice(
+                    scales, new.scales, (slot, 0, 0, 0))
+            return KVTensor(vals, scales)
+
+        def zero_slot(kv: KVTensor, slot) -> KVTensor:
+            z = KVTensor(jnp.zeros_like(kv.values[0:1]),
+                         None if kv.scales is None
+                         else jnp.zeros_like(kv.scales[0:1]))
+            return put(kv, z, slot)
+
         def insert(layers, enc_len, pos, cur_token, active, budget,
                    cross_kvs, slot, true_len, max_new):
             new_layers = []
@@ -127,15 +178,10 @@ class InferenceEngine:
                 pad = ecfg.max_encode_len - ck.shape[2]
                 ckp = jnp.pad(ck, ((0, 0), (0, 0), (0, pad), (0, 0)))
                 cvp = jnp.pad(cv, ((0, 0), (0, 0), (0, pad), (0, 0)))
-                cross_k = jax.lax.dynamic_update_slice(
-                    cache.cross_k, ckp.astype(cache.cross_k.dtype), (slot, 0, 0, 0))
-                cross_v = jax.lax.dynamic_update_slice(
-                    cache.cross_v, cvp.astype(cache.cross_v.dtype), (slot, 0, 0, 0))
-                zero_k = jnp.zeros_like(cache.self_k[0:1])
-                self_k = jax.lax.dynamic_update_slice(cache.self_k, zero_k,
-                                                      (slot, 0, 0, 0))
-                self_v = jax.lax.dynamic_update_slice(cache.self_v, zero_k,
-                                                      (slot, 0, 0, 0))
+                cross_k = put(cache.cross_k, _kv_make(ckp, quant), slot)
+                cross_v = put(cache.cross_v, _kv_make(cvp, quant), slot)
+                self_k = zero_slot(cache.self_k, slot)
+                self_v = zero_slot(cache.self_v, slot)
                 new_layers.append(kv_cache.LayerCache(self_k, self_v,
                                                       cross_k, cross_v))
             enc_len = enc_len.at[slot].set(true_len)
@@ -177,10 +223,23 @@ class InferenceEngine:
                 k_new = kv_cache._proj_heads(normed, sa["Wk"], h, dkv)
                 v_new = kv_cache._proj_heads(normed, sa["Wv"], h, dkv)
 
-                # per-slot scatter of the new K/V at each slot's position
-                oh = (kpos[None, :] == pos[:, None]).astype(cache.self_k.dtype)
-                self_k = cache.self_k + oh[:, None, :, None] * k_new
-                self_v = cache.self_v + oh[:, None, :, None] * v_new
+                # per-slot scatter of the new K/V at each slot's position;
+                # positions are zeroed at insert, so masked add == scatter
+                # (works for int8 values and fp32 scales alike)
+                oh = kpos[None, :] == pos[:, None]
+                ohm = oh[:, None, :, None]
+
+                def scatter(kv, new):
+                    newq = _kv_make(new, kv.scales is not None)
+                    vals = kv.values + jnp.where(
+                        ohm, newq.values.astype(kv.values.dtype), 0)
+                    scales = kv.scales
+                    if scales is not None:
+                        scales = scales + jnp.where(ohm[..., :1], newq.scales, 0.0)
+                    return KVTensor(vals, scales)
+
+                self_k = scatter(cache.self_k, k_new)
+                self_v = scatter(cache.self_v, v_new)
 
                 if li == 0 and config.position_encoding_type == "t5":
                     pe = sa.get("pe_encoding")
@@ -196,13 +255,13 @@ class InferenceEngine:
                     self_bias = jnp.transpose(vals, (0, 2, 1))[:, :, None, :]
 
                 s = jnp.einsum("bhqd,bhnd->bhqn", q.astype(jnp.float32),
-                               self_k.astype(jnp.float32)) * config.softmax_scale
+                               _kv_read(self_k)) * config.softmax_scale
                 if self_bias is not None:
                     s = s + self_bias.astype(jnp.float32)
                 s = jnp.where(self_valid[:, None, None, :], s, -1e30)
                 p = jax.nn.softmax(s, axis=-1)
                 attn = jnp.einsum("bhqn,bhnd->bhqd", p,
-                                  self_v.astype(jnp.float32)).astype(x.dtype)
+                                  _kv_read(self_v)).astype(x.dtype)
                 attn = jnp.transpose(attn, (0, 2, 1, 3)).reshape(b, 1, h * dkv)
                 x = x + t5._matmul(attn, sa["o"])
 
@@ -211,11 +270,11 @@ class InferenceEngine:
                     config, blk["cross_attention_layer"]["layer_norm"]["weight"], x)
                 qc = kv_cache._proj_heads(normed, ca["Wq"], h, dkv)
                 s = jnp.einsum("bhqd,bhnd->bhqn", qc.astype(jnp.float32),
-                               cache.cross_k.astype(jnp.float32)) * config.softmax_scale
+                               _kv_read(cache.cross_k)) * config.softmax_scale
                 s = jnp.where(cross_valid[:, None, None, :], s, -1e30)
                 p = jax.nn.softmax(s, axis=-1)
                 attn = jnp.einsum("bhqn,bhnd->bhqd", p,
-                                  cache.cross_v.astype(jnp.float32)).astype(x.dtype)
+                                  _kv_read(cache.cross_v)).astype(x.dtype)
                 attn = jnp.transpose(attn, (0, 2, 1, 3)).reshape(b, 1, h * dkv)
                 x = x + t5._matmul(attn, ca["o"])
 

@@ -215,6 +215,9 @@ def _ff(config: FlashT5Config, params: Params, x, *, rng, deterministic):
         h = act_fn(_matmul(h, params["act"]["wi"]))
     h = _dropout(r1, config.dropout_rate, h, deterministic)
     h = _matmul(h, params["wo"])
+    if config.tp_axis is not None:
+        # row-parallel wo: partial sums across d_ff shards
+        h = jax.lax.psum(h, config.tp_axis)
     return x + _dropout(r2, config.dropout_rate, h, deterministic)
 
 
@@ -235,9 +238,15 @@ def _position_bias(config: FlashT5Config, pe_params: Optional[Params],
             max_distance=config.relative_attention_max_distance,
             dtype=dtype, q_positions=q_pos, k_positions=k_pos)
     if pet == "ALiBi":
-        return positional.alibi_bias(
+        bias = positional.alibi_bias(
             config.num_heads, q_len, k_len, mode=config.alibi_mode,
             dtype=dtype, q_positions=q_pos, k_positions=k_pos)
+        if config.tp_axis is not None:
+            # slice this shard's heads out of the global-slope bias
+            shard = jax.lax.axis_index(config.tp_axis)
+            per = config.num_heads // jax.lax.axis_size(config.tp_axis)
+            bias = jax.lax.dynamic_slice_in_dim(bias, shard * per, per, axis=1)
+        return bias
     if pet == "FIRE":
         return positional.fire_bias(pe_params, q_len, dtype=dtype)
     return None
@@ -265,7 +274,10 @@ def _attention(
     b, m = hidden_states.shape[:2]
     kv_src = hidden_states if key_value_states is None else key_value_states
     n = kv_src.shape[1]
-    h, dkv = config.num_heads, config.d_kv
+    dkv = config.d_kv
+    # head count from the (possibly tensor-sharded) projection, not the
+    # config: under shard_map TP each shard owns num_heads/t heads
+    h = params["Wq"].shape[1] // dkv
 
     q = _matmul(hidden_states, params["Wq"]).reshape(b, m, h, dkv)
     k = _matmul(kv_src, params["Wk"]).reshape(b, n, h, dkv)
@@ -330,7 +342,11 @@ def _attention(
                        dropout_rng=drop_rng)
 
     out = jnp.transpose(out, (0, 2, 1, 3)).reshape(b, m, h * dkv)
-    return _matmul(out, params["o"]), position_bias
+    out = _matmul(out, params["o"])
+    if config.tp_axis is not None:
+        # row-parallel o-projection: partial sums across head shards
+        out = jax.lax.psum(out, config.tp_axis)
+    return out, position_bias
 
 
 def _block_apply(
@@ -410,16 +426,60 @@ def stack_apply(
             policy=jax.checkpoint_policies.nothing_saveable,
         )
 
-    for i, block_params in enumerate(stack_params["block"]):
+    # Blocks 1..N-1 are structurally identical (only block 0 owns the
+    # bias-producing positional encoding, reference: modeling:404); roll them
+    # into one lax.scan so the compiled HLO is O(1) in depth instead of O(N)
+    # — compile time and program size shrink ~N-fold on TPU.
+    use_scan = config.scan_blocks and nblocks > 2
+    if config.use_randomized_position_encoding and not deterministic:
+        use_scan = False  # per-layer randomized positions need the unrolled path
+
+    if use_scan:
         x, position_bias, encdec_bias = block_fn(
-            config, block_params, x,
-            is_decoder=is_decoder, has_pe=(i == 0),
+            config, stack_params["block"][0], x,
+            is_decoder=is_decoder, has_pe=True,
             attention_mask=attention_mask,
-            position_bias=position_bias,
+            position_bias=None,
             encoder_hidden_states=encoder_hidden_states,
             encoder_attention_mask=encoder_attention_mask,
-            encoder_decoder_position_bias=encdec_bias,
-            rng=rngs[i + 1], deterministic=deterministic)
+            encoder_decoder_position_bias=None,
+            rng=rngs[1], deterministic=deterministic)
+
+        rest = jax.tree.map(lambda *leaves: jnp.stack(leaves),
+                            *stack_params["block"][1:])
+        if rng is not None:
+            scan_rngs = jnp.stack(rngs[2:nblocks + 1])
+        else:
+            scan_rngs = jnp.zeros((nblocks - 1, 2), jnp.uint32)
+
+        def body(carry, scanned):
+            h, bias, xbias = carry
+            bp, layer_rng = scanned
+            r = layer_rng if rng is not None else None
+            h, _, _ = block_fn(
+                config, bp, h,
+                is_decoder=is_decoder, has_pe=False,
+                attention_mask=attention_mask,
+                position_bias=bias,
+                encoder_hidden_states=encoder_hidden_states,
+                encoder_attention_mask=encoder_attention_mask,
+                encoder_decoder_position_bias=xbias,
+                rng=r, deterministic=deterministic)
+            return (h, bias, xbias), None
+
+        (x, _, _), _ = jax.lax.scan(body, (x, position_bias, encdec_bias),
+                                    (rest, scan_rngs))
+    else:
+        for i, block_params in enumerate(stack_params["block"]):
+            x, position_bias, encdec_bias = block_fn(
+                config, block_params, x,
+                is_decoder=is_decoder, has_pe=(i == 0),
+                attention_mask=attention_mask,
+                position_bias=position_bias,
+                encoder_hidden_states=encoder_hidden_states,
+                encoder_attention_mask=encoder_attention_mask,
+                encoder_decoder_position_bias=encdec_bias,
+                rng=rngs[i + 1], deterministic=deterministic)
 
     x = _layer_norm(config, stack_params["final_layer_norm"]["weight"], x)
     x = _dropout(rngs[-1], config.dropout_rate, x, deterministic)
@@ -512,7 +572,12 @@ def forward(
 
     out = {"logits": lm_logits, "encoder_hidden_states": encoder_hidden_states}
     if labels is not None:
-        out["loss"] = compute_loss(config, lm_logits, labels)
+        if config.tp_axis is not None and not config.tie_word_embeddings:
+            from flasht5_tpu.parallel.vocab_parallel import vocab_parallel_loss
+            out["loss"] = vocab_parallel_loss(config, lm_logits, labels,
+                                              config.tp_axis)
+        else:
+            out["loss"] = compute_loss(config, lm_logits, labels)
     return out
 
 

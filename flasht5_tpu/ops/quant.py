@@ -125,3 +125,27 @@ def quant_matmul(x: jnp.ndarray, qt: QuantizedTensor,
         interpret=interpret_mode(),
     )(x2, qt.qvalues, qt.scales)
     return out[:m_dim].reshape(*orig_shape[:-1], n_dim)
+
+
+# ---------------------------------------------------------------------------
+# KV-cache quantization (per-position, per-head scales)
+# ---------------------------------------------------------------------------
+
+def quantize_kv(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Symmetric INT8 over the head_dim (last) axis.
+
+    x: (..., D) -> (int8 values (..., D), fp32 scales (..., 1)).
+    Per-(batch, head, position) scaling keeps decode-time dequant exact up to
+    rounding; scales ride along the cache and multiply back into the fp32
+    attention scores (north-star INT8 KV cache, BASELINE.json).
+    """
+    x32 = x.astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(x32), axis=-1, keepdims=True)
+    scales = jnp.where(absmax > 0, absmax / 127.0, 1.0)
+    q = jnp.clip(jnp.round(x32 / scales), -127, 127).astype(jnp.int8)
+    return q, scales
+
+
+def dequantize_kv(q: jnp.ndarray, scales: jnp.ndarray,
+                  dtype=jnp.float32) -> jnp.ndarray:
+    return (q.astype(jnp.float32) * scales).astype(dtype)

@@ -46,12 +46,19 @@ def adamw_scale(
     correct_bias: bool = True,
     state_dtype: Optional[jnp.dtype] = None,
     mask=None,
+    stat_axes=None,
 ) -> optax.GradientTransformation:
     """Build the transformation. `learning_rate` is a float or schedule fn.
 
     `mask`: optional pytree/prefix (or callable of params) of bools selecting
     which leaves receive weight decay (True = decay), mirroring the
     reference's no-decay param groups (optimization.py:12-23).
+
+    `stat_axes`: optional pytree (or callable of params) of comma-joined
+    mesh-axis name strings ("" = none); inside shard_map, rms(param) for a
+    tensor-sharded leaf is combined across its shards with psum so the
+    Adafactor-style LR scaling matches the unsharded math exactly. (Strings,
+    because tuples/None would be treated as pytree containers.)
     """
 
     def lr_at(step):
@@ -84,8 +91,14 @@ def adamw_scale(
             decay_mask = mask(params) if callable(mask) else mask
         else:
             decay_mask = jax.tree.map(lambda _: True, params)
+        if callable(stat_axes):
+            axes_tree = stat_axes(params)
+        elif stat_axes is not None:
+            axes_tree = stat_axes
+        else:
+            axes_tree = jax.tree.map(lambda _: "", params)
 
-        def leaf(p, g, m, v, kc, dm):
+        def leaf(p, g, m, v, kc, dm, axes):
             gf = g.astype(jnp.float32)
             m32 = m.astype(jnp.float32) * b1 + gf * (1.0 - b1)
             v32 = v.astype(jnp.float32) * b2 + gf * gf * (1.0 - b2)
@@ -96,7 +109,13 @@ def adamw_scale(
                 bc1 = 1.0 - b1 ** step.astype(jnp.float32)
                 bc2 = 1.0 - b2 ** step.astype(jnp.float32)
                 step_size = step_size * jnp.sqrt(bc2) / bc1
-            step_size = step_size * jnp.maximum(1e-3, _rms(p))
+            sum_sq = jnp.sum(jnp.square(p.astype(jnp.float32)))
+            n = jnp.asarray(p.size, jnp.float32)
+            if axes:
+                ax = tuple(axes.split(","))
+                sum_sq = jax.lax.psum(sum_sq, ax)
+                n = jax.lax.psum(n, ax)
+            step_size = step_size * jnp.maximum(1e-3, jnp.sqrt(sum_sq / n))
 
             upd = -(step_size * m32 / denom)
             if kc is not None:
@@ -121,9 +140,10 @@ def adamw_scale(
         flat_v = treedef.flatten_up_to(state.exp_avg_sq)
         flat_k = treedef.flatten_up_to(state.kahan_comp)
         flat_d = treedef.flatten_up_to(decay_mask)
+        flat_a = treedef.flatten_up_to(axes_tree)
 
-        outs = [leaf(p, g, m, v, kc, dm) for p, g, m, v, kc, dm in
-                zip(flat_p, flat_g, flat_m, flat_v, flat_k, flat_d)]
+        outs = [leaf(p, g, m, v, kc, dm, ax) for p, g, m, v, kc, dm, ax in
+                zip(flat_p, flat_g, flat_m, flat_v, flat_k, flat_d, flat_a)]
         deltas = treedef.unflatten([o[0] for o in outs])
         new_m = treedef.unflatten([o[1] for o in outs])
         new_v = treedef.unflatten([o[2] for o in outs])

@@ -1,0 +1,70 @@
+"""Vocab-parallel cross-entropy over a tensor-sharded lm_head.
+
+TPU-native re-design of the reference's vocab-split Triton CE + NCCL
+collectives (cross_entropy_loss.py:52,303-351: per-rank class range, SPLIT
+kernel mode, all_gather of LSE + all_reduce of partial losses): here each
+tensor shard holds logits for its vocab slice; the global LSE is combined
+with a pmax/psum logsumexp and the label/smoothing terms with psums — all
+XLA collectives over the mesh axis, differentiable end-to-end (no custom
+backward needed: autodiff through psum IS the reference's gradient
+semantics).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from flasht5_tpu.config import FlashT5Config
+
+
+def vocab_parallel_loss(config: FlashT5Config, local_logits: jnp.ndarray,
+                        labels: jnp.ndarray, axis: str) -> jnp.ndarray:
+    """CE + z-loss over vocab-sharded logits inside shard_map.
+
+    local_logits: (B, L, V/t) — this shard's contiguous vocab slice
+    labels: (B, L) global vocab ids, -100 = ignore
+    Reduction matches the fused path (mean over ALL rows, reference
+    modeling:68) when use_fused_crossentropy is set, else mean over
+    non-ignored rows.
+    """
+    z = config.z_loss or 0.0
+    smoothing = config.label_smoothing
+    v_local = local_logits.shape[-1]
+    total_classes = v_local * jax.lax.axis_size(axis)
+    class_start = jax.lax.axis_index(axis) * v_local
+
+    logits = local_logits.reshape(-1, v_local).astype(jnp.float32)
+    flat_labels = labels.reshape(-1)
+    rows = logits.shape[0]
+
+    # ---- global logsumexp (stable two-stage combine) ----
+    # stop_gradient on the max shift: it cancels exactly in d(lse)/d(logits)
+    # (standard stable-logsumexp trick), and pmax has no JVP rule anyway
+    local_max = jax.lax.stop_gradient(jnp.max(logits, axis=-1))
+    gmax = jax.lax.pmax(local_max, axis)
+    sumexp = jnp.sum(jnp.exp(logits - gmax[:, None]), axis=-1)
+    lse = gmax + jnp.log(jax.lax.psum(sumexp, axis))
+
+    # ---- label term: each row's label lives on exactly one shard ----
+    local_label = flat_labels - class_start
+    in_shard = (local_label >= 0) & (local_label < v_local)
+    safe = jnp.clip(local_label, 0, v_local - 1)
+    picked = jnp.take_along_axis(logits, safe[:, None], axis=-1)[:, 0]
+    label_logit = jax.lax.psum(jnp.where(in_shard, picked, 0.0), axis)
+
+    if smoothing > 0.0:
+        sum_logits = jax.lax.psum(jnp.sum(logits, axis=-1), axis)
+        loss = (lse
+                - smoothing * sum_logits / total_classes
+                - (1.0 - smoothing) * label_logit)
+    else:
+        loss = lse - label_logit
+    loss = loss + z * lse * lse
+
+    ignored = flat_labels == -100
+    loss = jnp.where(ignored, 0.0, loss)
+    if config.use_fused_crossentropy:
+        return jnp.mean(loss)  # mean over all rows (reference quirk)
+    n_valid = jnp.maximum(jnp.sum(~ignored), 1)
+    return jnp.sum(loss) / n_valid

@@ -133,3 +133,41 @@ def test_dropout_deterministic_flag():
     o3 = t5.forward(config, params, input_ids=input_ids, labels=labels,
                     rng=jax.random.PRNGKey(5), deterministic=False)
     assert not np.allclose(np.asarray(o1["logits"]), np.asarray(o3["logits"]))
+
+
+def test_scan_blocks_equivalence():
+    """lax.scan-rolled blocks must be numerically identical to the unrolled
+    path (same params, 4 layers so the scan actually engages)."""
+    base = dict(vocab_size=128, d_model=32, d_kv=8, num_heads=4, d_ff=64,
+                num_layers=4, dropout_rate=0.0, attention_scale=1.0,
+                dtype="float32")
+    c_scan = FlashT5Config(**base, scan_blocks=True)
+    c_loop = FlashT5Config(**base, scan_blocks=False)
+    params = t5.init_params(jax.random.PRNGKey(0), c_scan)
+    ids = jax.random.randint(jax.random.PRNGKey(1), (2, 10), 0, 128)
+    lbl = jax.random.randint(jax.random.PRNGKey(2), (2, 6), 0, 128)
+    a = t5.forward(c_scan, params, input_ids=ids, labels=lbl)
+    b = t5.forward(c_loop, params, input_ids=ids, labels=lbl)
+    np.testing.assert_allclose(np.asarray(a["logits"]), np.asarray(b["logits"]),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(float(a["loss"]), float(b["loss"]), rtol=1e-6)
+
+    # grads flow through the scanned blocks too
+    g = jax.grad(lambda p: t5.forward(c_scan, p, input_ids=ids,
+                                      labels=lbl)["loss"])(params)
+    leaves = jax.tree_util.tree_leaves_with_path(g)
+    zero = [jax.tree_util.keystr(kp) for kp, x in leaves
+            if not np.any(np.abs(np.asarray(x)) > 0)]
+    assert zero == [], zero
+
+
+def test_scan_blocks_with_dropout_rng():
+    config = FlashT5Config(vocab_size=128, d_model=32, d_kv=8, num_heads=4,
+                           d_ff=64, num_layers=4, dropout_rate=0.3,
+                           attention_scale=1.0, dtype="float32")
+    params = t5.init_params(jax.random.PRNGKey(0), config)
+    ids = jax.random.randint(jax.random.PRNGKey(1), (2, 10), 0, 128)
+    lbl = jax.random.randint(jax.random.PRNGKey(2), (2, 6), 0, 128)
+    out = t5.forward(config, params, input_ids=ids, labels=lbl,
+                     rng=jax.random.PRNGKey(3), deterministic=False)
+    assert np.isfinite(float(out["loss"]))

@@ -1,0 +1,72 @@
+"""Serving benchmark: decode tokens/sec/chip and p50 TTFT through the
+continuous-batching engine (north-star headline metrics, BASELINE.json).
+
+Runs FAT5-small-shaped serving in three precision modes: bf16, INT8 weights,
+INT8 weights + INT8 KV cache. Prints one JSON line per mode.
+"""
+
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    from __graft_entry__ import _flagship_config
+    from flasht5_tpu.inference.engine import EngineConfig, InferenceEngine, Request
+    from flasht5_tpu.models import t5
+    from flasht5_tpu.quantize import quantize_params
+
+    on_tpu = jax.default_backend() == "tpu"
+    config = _flagship_config(tiny=not on_tpu).replace(dropout_rate=0.0)
+    params = jax.jit(lambda r: t5.init_params(r, config))(jax.random.PRNGKey(0))
+
+    n_req = 32 if on_tpu else 6
+    enc_len, max_new = (512, 64) if on_tpu else (16, 8)
+    slots = 8 if on_tpu else 3
+    rng = np.random.default_rng(0)
+    mk_reqs = lambda: [
+        Request(uid=i,
+                input_ids=rng.integers(2, config.vocab_size,
+                                       size=(enc_len,)).astype(np.int32),
+                max_new_tokens=max_new)
+        for i in range(n_req)
+    ]
+    ecfg_base = dict(max_slots=slots, max_decode_len=max_new + 2,
+                     max_encode_len=enc_len, encode_buckets=(enc_len,))
+
+    modes = [
+        ("bf16", params, "native"),
+        ("int8_weights", quantize_params(params), "native"),
+        ("int8_weights_kv", quantize_params(params), "int8"),
+    ]
+    for tag, p, kv in modes:
+        engine = InferenceEngine(config, p, EngineConfig(kv_dtype=kv, **ecfg_base))
+        # measure TTFT on a single warm request (prefill + 1 decode step)
+        warm = engine.run(mk_reqs()[:slots])  # compile everything
+        t0 = time.perf_counter()
+        engine.run([mk_reqs()[0]])
+        ttft = time.perf_counter() - t0  # full short request as TTFT proxy
+
+        reqs = mk_reqs()
+        t0 = time.perf_counter()
+        done = engine.run(reqs)
+        dt = time.perf_counter() - t0
+        toks = sum(len(r.result) for r in done)
+        print(json.dumps({
+            "metric": f"decode_tokens_per_sec_{tag}",
+            "value": round(toks / dt, 1),
+            "unit": "tokens/s/chip",
+            "p50_ttft_ms": round(ttft * 1e3, 1),
+            "requests": n_req,
+            "vs_baseline": None,
+        }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

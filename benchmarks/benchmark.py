@@ -94,3 +94,36 @@ def attention_flops(batch: int, heads: int, m: int, n: int, d: int,
 
 
 BWD_FLOP_FACTOR = 2.5  # reference convention (bench_fa2_bias.py:13)
+
+
+def plot_grouped_bars(rows: List[Dict], *, group_key: str, bar_key: str,
+                      value_key: str, out_png: str, title: str = ""):
+    """Grouped-bar PNG export (parity with the reference harness's
+    _plot_graphics, benchmarks/benchmark.py:26-100)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    import numpy as np
+
+    groups = sorted({str(r[group_key]) for r in rows if value_key in r})
+    bars = sorted({str(r[bar_key]) for r in rows if value_key in r})
+    width = 0.8 / max(len(bars), 1)
+    fig, ax = plt.subplots(figsize=(1.8 * len(groups) + 2, 4))
+    for bi, b in enumerate(bars):
+        vals = []
+        for g in groups:
+            v = [r[value_key] for r in rows
+                 if str(r[group_key]) == g and str(r[bar_key]) == b
+                 and value_key in r]
+            vals.append(v[0] if v else 0.0)
+        ax.bar(np.arange(len(groups)) + bi * width, vals, width, label=b)
+    ax.set_xticks(np.arange(len(groups)) + 0.4 - width / 2)
+    ax.set_xticklabels(groups)
+    ax.set_ylabel(value_key)
+    ax.set_title(title)
+    ax.legend()
+    os.makedirs(os.path.dirname(out_png) or ".", exist_ok=True)
+    fig.tight_layout()
+    fig.savefig(out_png, dpi=120)
+    plt.close(fig)
+    return out_png

@@ -36,8 +36,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from flasht5_tpu.runtime import interpret_mode
 
-DEFAULT_BLOCK_M = 128
-DEFAULT_BLOCK_N = 128
+DEFAULT_BLOCK_M = 512
+DEFAULT_BLOCK_N = 512
 _NEG_INF = -1e30
 
 
@@ -74,8 +74,9 @@ def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref,
 
     @pl.when(run)
     def _compute():
-        q = q_ref[0, 0].astype(jnp.float32)
-        k = k_ref[0, 0].astype(jnp.float32)
+        # native-dtype (bf16) operands on the MXU, fp32 accumulation
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * sm_scale
@@ -200,8 +201,8 @@ def _recompute_p_and_g(q_ref, k_ref, v_ref, bias_ref, lse_ref, delta_ref,
     p: recomputed softmax tile; g = p * (dp - delta) is the gradient of the
     pre-softmax scores S (so dbias = g, dq = g K sm_scale, dk = g^T Q sm_scale).
     """
-    q = q_ref[0, 0].astype(jnp.float32)
-    k = k_ref[0, 0].astype(jnp.float32)
+    q = q_ref[0, 0]
+    k = k_ref[0, 0]
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32) * sm_scale
     if has_bias:
@@ -217,8 +218,8 @@ def _recompute_p_and_g(q_ref, k_ref, v_ref, bias_ref, lse_ref, delta_ref,
     lse_safe = jnp.where(lse_ok, lse, 0.0)
     p = jnp.where(mask & lse_ok, jnp.exp(s - lse_safe), 0.0)
 
-    do = do_ref[0, 0].astype(jnp.float32)
-    v = v_ref[0, 0].astype(jnp.float32)
+    do = do_ref[0, 0]
+    v = v_ref[0, 0]
     dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
     delta = delta_ref[0, 0]
@@ -258,8 +259,7 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, bias_ref, lse_ref, delta_ref, do_ref,
             p.astype(do_ref.dtype), do_ref[0, 0], (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         dk_ref[0, 0] += jax.lax.dot_general(
-            g.astype(q_ref.dtype), q_ref[0, 0].astype(q_ref.dtype),
-            (((0,), (0,)), ((), ())),
+            g.astype(q_ref.dtype), q_ref[0, 0], (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32) * sm_scale
         if want_dbias:
             dbias_ref[0, 0] = g.astype(dbias_ref.dtype)

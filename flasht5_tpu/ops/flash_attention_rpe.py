@@ -114,8 +114,8 @@ def _fwd_kernel(q_ref, k_ref, v_ref, w_ref, o_ref, lse_ref,
 
     @pl.when(run)
     def _compute():
-        q = q_ref[0, 0].astype(jnp.float32)
-        k = k_ref[0, 0].astype(jnp.float32)
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) * sm_scale
         bucket = _bucket_tile(i, j, block_m, block_n,
@@ -231,8 +231,8 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, w_ref, lse_ref, delta_ref, do_ref,
 
     @pl.when(run)
     def _compute():
-        q = q_ref[0, 0].astype(jnp.float32)
-        k = k_ref[0, 0].astype(jnp.float32)
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) * sm_scale
         bucket = _bucket_tile(i, j, block_m, block_n,
@@ -250,9 +250,8 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, w_ref, lse_ref, delta_ref, do_ref,
         lse_ok = lse > _NEG_INF / 2
         p = jnp.where(mask & lse_ok, jnp.exp(s - jnp.where(lse_ok, lse, 0.0)), 0.0)
 
-        do = do_ref[0, 0].astype(jnp.float32)
-        dp = jax.lax.dot_general(do, v_ref[0, 0].astype(jnp.float32),
-                                 (((1,), (1,)), ((), ())),
+        do = do_ref[0, 0]
+        dp = jax.lax.dot_general(do, v_ref[0, 0], (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
         g = p * (dp - delta_ref[0, 0])
 
@@ -288,8 +287,8 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, w_ref, lse_ref, delta_ref, do_ref,
 
     @pl.when(run)
     def _compute():
-        q = q_ref[0, 0].astype(jnp.float32)
-        k = k_ref[0, 0].astype(jnp.float32)
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) * sm_scale
         bucket = _bucket_tile(i, j, block_m, block_n,
@@ -306,9 +305,8 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, w_ref, lse_ref, delta_ref, do_ref,
         lse = lse_ref[0, 0]
         lse_ok = lse > _NEG_INF / 2
         p = jnp.where(mask & lse_ok, jnp.exp(s - jnp.where(lse_ok, lse, 0.0)), 0.0)
-        do = do_ref[0, 0].astype(jnp.float32)
-        dp = jax.lax.dot_general(do, v_ref[0, 0].astype(jnp.float32),
-                                 (((1,), (1,)), ((), ())),
+        do = do_ref[0, 0]
+        dp = jax.lax.dot_general(do, v_ref[0, 0], (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
         g = p * (dp - delta_ref[0, 0])
         dq_ref[0, 0] += jax.lax.dot_general(

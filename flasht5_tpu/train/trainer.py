@@ -172,13 +172,29 @@ class Trainer:
 
     # -- loops ------------------------------------------------------------
 
+    def _jsonl_logger(self):
+        """Append metrics to <output_dir>/train_log.jsonl (the structured
+        replacement for the reference's HF-Trainer/ClearML/wandb logging,
+        SURVEY.md §5 metrics)."""
+        import json
+        os.makedirs(self.tcfg.output_dir, exist_ok=True)
+        path = os.path.join(self.tcfg.output_dir, "train_log.jsonl")
+
+        def log(entry):
+            with open(path, "a") as f:
+                f.write(json.dumps(entry) + "\n")
+
+        return log
+
     def train(self, train_iter: Iterable[Dict], eval_iter=None,
               log_fn: Callable[[Dict], None] = None) -> Dict:
         rng = jax.random.PRNGKey(self.tcfg.seed + 1)
         logs = []
         tokens_seen = 0
         t_start = time.perf_counter()
-        with self.mesh:
+        jsonl = self._jsonl_logger() if self.tcfg.save_steps else None
+        try:
+          with self.mesh:
             for batch in train_iter:
                 if self.step_num >= self.tcfg.max_steps:
                     break
@@ -200,6 +216,8 @@ class Trainer:
                     logs.append(entry)
                     if log_fn:
                         log_fn(entry)
+                    if jsonl:
+                        jsonl(entry)
 
                 if (self.tcfg.eval_steps and eval_iter is not None
                         and self.step_num % self.tcfg.eval_steps == 0):
@@ -209,6 +227,13 @@ class Trainer:
                 if self.tcfg.save_steps and \
                         self.step_num % self.tcfg.save_steps == 0:
                     self.save_checkpoint(self.step_num)
+        except KeyboardInterrupt:
+            # crash/preemption safety: persist the latest state before
+            # propagating (the failure-recovery story the reference lacks —
+            # SURVEY.md §5 failure detection)
+            if self.tcfg.save_steps:
+                self.save_checkpoint(self.step_num)
+            raise
         return {"final_step": self.step_num, "logs": logs}
 
     def evaluate(self, eval_iter: Iterable[Dict]) -> Dict:

@@ -95,3 +95,18 @@ def test_rpe_model_integration():
     ref = t5.forward(config_ref, params, input_ids=ids, labels=lbl)
     np.testing.assert_allclose(np.asarray(out["logits"]),
                                np.asarray(ref["logits"]), atol=5e-3, rtol=1e-2)
+
+
+def test_rpe_long_range_bucket_saturation():
+    """Beyond max_distance all positions share the terminal bucket — the
+    length-generalization property the linear-memory kernel must preserve
+    (north-star 8k-encode config exercises this at scale)."""
+    nb, maxd, scale = 32, 128, 0.125
+    q, k, v, w = _setup(1, 2, 512, 512, 32, nb, maxd, seed=3)
+    out = flash_attention_rpe(q, k, v, w, causal=False, sm_scale=scale,
+                              bidirectional=True, num_buckets=nb,
+                              max_distance=maxd)
+    ref = _ref_out(q, k, v, w, causal=False, bidirectional=True,
+                   nb=nb, maxd=maxd, scale=scale)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-3,
+                               rtol=1e-2)

@@ -50,6 +50,11 @@ class EngineConfig:
     max_encode_len: int = 512        # cross-KV capacity per slot
     encode_buckets: Tuple[int, ...] = (64, 128, 256, 512)
     kv_dtype: str = "native"         # "native" | "int8" (quantized caches)
+    # Decode steps executed on-device per host synchronization (lax.scan
+    # window). Each sync is a host round-trip; with remote/tunneled TPUs a
+    # round-trip costs ~25ms, so windows of 8-16 amortize it. Finished slots
+    # idle until the window ends (bounded over-decode, masked on harvest).
+    steps_per_sync: int = 8
 
 
 class KVTensor(typing.NamedTuple):
@@ -119,6 +124,7 @@ class InferenceEngine:
         self.state = BatchState(config, params, ecfg)
         self._encode_fns: Dict[int, Callable] = {}
         self._step_fn = jax.jit(self._make_step())
+        self._multi_step_fn = jax.jit(self._make_multi_step())
         self._insert_fn = jax.jit(self._make_insert())
 
     # -- prefill -----------------------------------------------------------
@@ -302,6 +308,27 @@ class InferenceEngine:
 
         return step
 
+    def _make_multi_step(self):
+        step = self._make_step()
+        k = self.ecfg.steps_per_sync
+
+        def multi(params, layers, enc_len, pos, cur_token, active, budget):
+            def body(carry, _):
+                layers, enc_len, pos, cur_token, active, budget = carry
+                was_active = active
+                (layers, enc_len, pos, cur_token, active, budget, nxt,
+                 finished) = step(params, layers, enc_len, pos, cur_token,
+                                  active, budget)
+                return ((layers, enc_len, pos, cur_token, active, budget),
+                        (nxt, finished, was_active))
+
+            carry, (toks, fins, actives) = jax.lax.scan(
+                body, (layers, enc_len, pos, cur_token, active, budget),
+                None, length=k)
+            return carry, toks, fins, actives   # (k, B) each
+
+        return multi
+
     # -- host-side scheduler ----------------------------------------------
 
     def run(self, requests: List[Request]) -> List[Request]:
@@ -338,16 +365,26 @@ class InferenceEngine:
 
         admit()
         while any(s is not None for s in slots):
-            out = self._step_fn(self.params, st.layers, st.enc_len, st.pos,
-                                st.cur_token, st.active, st.budget)
+            carry, toks, fins, actives = self._multi_step_fn(
+                self.params, st.layers, st.enc_len, st.pos, st.cur_token,
+                st.active, st.budget)
             (st.layers, st.enc_len, st.pos, st.cur_token, st.active,
-             st.budget, nxt, finished) = out
-            nxt_h = np.asarray(nxt)          # single sync point per step
-            fin_h = np.asarray(finished)
+             st.budget) = carry
+            toks_h = np.asarray(toks)        # (k, B) — one sync per window
+            fins_h = np.asarray(fins)
+            act_h = np.asarray(actives)
+            finished_now = [False] * len(slots)
+            for t in range(toks_h.shape[0]):
+                for i, req in enumerate(slots):
+                    if req is None or finished_now[i] or not act_h[t, i]:
+                        continue
+                    emitted[i].append(int(toks_h[t, i]))
+                    if fins_h[t, i]:
+                        finished_now[i] = True
+            fin_h = finished_now
             for i, req in enumerate(slots):
                 if req is None:
                     continue
-                emitted[i].append(int(nxt_h[i]))
                 if fin_h[i]:
                     toks = list(emitted[i])
                     if self.config.eos_token_id in toks:

@@ -581,6 +581,35 @@ def forward(
     return out
 
 
+def model_forward(
+    config: FlashT5Config,
+    params: Params,
+    input_ids: Optional[jnp.ndarray] = None,
+    attention_mask: Optional[jnp.ndarray] = None,
+    decoder_input_ids: Optional[jnp.ndarray] = None,
+    decoder_attention_mask: Optional[jnp.ndarray] = None,
+    *,
+    rng=None,
+    deterministic: bool = True,
+):
+    """Bare encoder-decoder (FlashT5Model, reference: modeling:520-602):
+    returns dict(last_hidden_state, encoder_last_hidden_state) without the
+    lm_head/loss."""
+    r_enc = r_dec = None
+    if rng is not None:
+        r_enc, r_dec = jax.random.split(rng)
+    enc = encode(config, params, input_ids, attention_mask,
+                 rng=r_enc, deterministic=deterministic)
+    dec = stack_apply(config, params["decoder"],
+                      params["shared"]["embedding"], decoder_input_ids,
+                      is_decoder=True,
+                      attention_mask=decoder_attention_mask,
+                      encoder_hidden_states=enc,
+                      encoder_attention_mask=attention_mask,
+                      rng=r_dec, deterministic=deterministic)
+    return {"last_hidden_state": dec, "encoder_last_hidden_state": enc}
+
+
 def greedy_generate(
     config: FlashT5Config,
     params: Params,

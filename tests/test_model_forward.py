@@ -171,3 +171,15 @@ def test_scan_blocks_with_dropout_rng():
     out = t5.forward(config, params, input_ids=ids, labels=lbl,
                      rng=jax.random.PRNGKey(3), deterministic=False)
     assert np.isfinite(float(out["loss"]))
+
+
+def test_bare_model_forward():
+    """FlashT5Model analog: hidden states without head/loss
+    (reference: modeling_flash_t5.py:520-602)."""
+    config = tiny_config()
+    params = t5.init_params(jax.random.PRNGKey(0), config)
+    ids, dec = _batch(config, m=10, n=6)
+    out = t5.model_forward(config, params, input_ids=ids,
+                           decoder_input_ids=dec)
+    assert out["last_hidden_state"].shape == (2, 6, config.d_model)
+    assert out["encoder_last_hidden_state"].shape == (2, 10, config.d_model)

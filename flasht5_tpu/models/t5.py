@@ -418,13 +418,30 @@ def stack_apply(
     position_bias = None
     encdec_bias = None
 
-    block_fn = _block_apply
-    if config.remat:
-        block_fn = jax.checkpoint(
-            _block_apply,
-            static_argnums=(0,),
-            policy=jax.checkpoint_policies.nothing_saveable,
-        )
+    def make_block_fn(has_pe: bool):
+        """Close over every static flag so jax.checkpoint only sees array
+        arguments (booleans as traced args would break `if` dispatch)."""
+
+        def f(block_params, h, attention_mask, position_bias,
+              encoder_hidden_states, encoder_attention_mask,
+              encoder_decoder_position_bias, layer_rng):
+            return _block_apply(
+                config, block_params, h,
+                is_decoder=is_decoder, has_pe=has_pe,
+                attention_mask=attention_mask,
+                position_bias=position_bias,
+                encoder_hidden_states=encoder_hidden_states,
+                encoder_attention_mask=encoder_attention_mask,
+                encoder_decoder_position_bias=encoder_decoder_position_bias,
+                rng=layer_rng, deterministic=deterministic)
+
+        if config.remat:
+            return jax.checkpoint(
+                f, policy=jax.checkpoint_policies.nothing_saveable)
+        return f
+
+    block0_fn = make_block_fn(has_pe=True)
+    rest_fn = make_block_fn(has_pe=False)
 
     # Blocks 1..N-1 are structurally identical (only block 0 owns the
     # bias-producing positional encoding, reference: modeling:404); roll them
@@ -435,15 +452,9 @@ def stack_apply(
         use_scan = False  # per-layer randomized positions need the unrolled path
 
     if use_scan:
-        x, position_bias, encdec_bias = block_fn(
-            config, stack_params["block"][0], x,
-            is_decoder=is_decoder, has_pe=True,
-            attention_mask=attention_mask,
-            position_bias=None,
-            encoder_hidden_states=encoder_hidden_states,
-            encoder_attention_mask=encoder_attention_mask,
-            encoder_decoder_position_bias=None,
-            rng=rngs[1], deterministic=deterministic)
+        x, position_bias, encdec_bias = block0_fn(
+            stack_params["block"][0], x, attention_mask, None,
+            encoder_hidden_states, encoder_attention_mask, None, rngs[1])
 
         rest = jax.tree.map(lambda *leaves: jnp.stack(leaves),
                             *stack_params["block"][1:])
@@ -456,30 +467,20 @@ def stack_apply(
             h, bias, xbias = carry
             bp, layer_rng = scanned
             r = layer_rng if rng is not None else None
-            h, _, _ = block_fn(
-                config, bp, h,
-                is_decoder=is_decoder, has_pe=False,
-                attention_mask=attention_mask,
-                position_bias=bias,
-                encoder_hidden_states=encoder_hidden_states,
-                encoder_attention_mask=encoder_attention_mask,
-                encoder_decoder_position_bias=xbias,
-                rng=r, deterministic=deterministic)
+            h, _, _ = rest_fn(bp, h, attention_mask, bias,
+                              encoder_hidden_states, encoder_attention_mask,
+                              xbias, r)
             return (h, bias, xbias), None
 
         (x, _, _), _ = jax.lax.scan(body, (x, position_bias, encdec_bias),
                                     (rest, scan_rngs))
     else:
         for i, block_params in enumerate(stack_params["block"]):
-            x, position_bias, encdec_bias = block_fn(
-                config, block_params, x,
-                is_decoder=is_decoder, has_pe=(i == 0),
-                attention_mask=attention_mask,
-                position_bias=position_bias,
-                encoder_hidden_states=encoder_hidden_states,
-                encoder_attention_mask=encoder_attention_mask,
-                encoder_decoder_position_bias=encdec_bias,
-                rng=rngs[i + 1], deterministic=deterministic)
+            fn = block0_fn if i == 0 else rest_fn
+            x, position_bias, encdec_bias = fn(
+                block_params, x, attention_mask, position_bias,
+                encoder_hidden_states, encoder_attention_mask,
+                encdec_bias, rngs[i + 1])
 
     x = _layer_norm(config, stack_params["final_layer_norm"]["weight"], x)
     x = _dropout(rngs[-1], config.dropout_rate, x, deterministic)

@@ -183,3 +183,27 @@ def test_bare_model_forward():
                            decoder_input_ids=dec)
     assert out["last_hidden_state"].shape == (2, 6, config.d_model)
     assert out["encoder_last_hidden_state"].shape == (2, 10, config.d_model)
+
+
+def test_remat_matches_plain():
+    """jax.checkpoint'ed blocks must give identical values and finite grads
+    (was broken: traced booleans under jax.checkpoint static_argnums)."""
+    base = dict(vocab_size=128, d_model=32, d_kv=8, num_heads=4, d_ff=64,
+                num_layers=4, dropout_rate=0.0, attention_scale=1.0,
+                dtype="float32")
+    c_remat = FlashT5Config(**base, remat=True)
+    c_plain = FlashT5Config(**base, remat=False)
+    params = t5.init_params(jax.random.PRNGKey(0), c_remat)
+    ids = jax.random.randint(jax.random.PRNGKey(1), (2, 10), 0, 128)
+    lbl = jax.random.randint(jax.random.PRNGKey(2), (2, 6), 0, 128)
+    a = t5.forward(c_remat, params, input_ids=ids, labels=lbl)
+    b = t5.forward(c_plain, params, input_ids=ids, labels=lbl)
+    np.testing.assert_allclose(np.asarray(a["logits"]), np.asarray(b["logits"]),
+                               atol=1e-5, rtol=1e-5)
+    ga = jax.grad(lambda p: t5.forward(c_remat, p, input_ids=ids,
+                                       labels=lbl)["loss"])(params)
+    gb = jax.grad(lambda p: t5.forward(c_plain, p, input_ids=ids,
+                                       labels=lbl)["loss"])(params)
+    for x, y in zip(jax.tree.leaves(ga), jax.tree.leaves(gb)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-5,
+                                   rtol=1e-4)

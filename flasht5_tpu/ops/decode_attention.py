@@ -1,0 +1,123 @@
+"""Fused batched decode attention over (quantized) KV caches.
+
+North-star serving kernel: one Pallas pass per batch slot computes
+single-query attention against that slot's KV cache — INT8 dequant, per-slot
+length masking, and the optional per-slot T5 bias row all fused, so the HBM
+traffic is exactly one read of the (int8) cache. The engine's jnp path
+materializes the dequantized cache in fp32 first; this kernel is the
+bandwidth-optimal form (decode is HBM-bound: bytes read ≈ latency).
+
+Layout: q (B, H, D); k/v (B, H, L, D) in bf16/fp32 or int8(+scales
+(B, H, L, 1)); lengths (B,) valid cache positions; bias (B, H, L) optional.
+Forward-only (inference).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from flasht5_tpu.runtime import interpret_mode
+
+_NEG_INF = -1e30
+
+
+def decode_attention_ref(q, k, v, k_scales=None, v_scales=None,
+                         lengths=None, bias=None, *, sm_scale=1.0):
+    """jnp oracle. q (B,H,D); k/v (B,H,L,D); returns (B,H,D) in q.dtype."""
+    kf = k.astype(jnp.float32)
+    vf = v.astype(jnp.float32)
+    if k_scales is not None:
+        kf = kf * k_scales
+    if v_scales is not None:
+        vf = vf * v_scales
+    s = jnp.einsum("bhd,bhld->bhl", q.astype(jnp.float32), kf) * sm_scale
+    if bias is not None:
+        s = s + bias.astype(jnp.float32)
+    if lengths is not None:
+        pos = jnp.arange(k.shape[2])
+        s = jnp.where(pos[None, None, :] < lengths[:, None, None], s, _NEG_INF)
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("bhl,bhld->bhd", p, vf).astype(q.dtype)
+
+
+def _kernel(len_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, bias_ref, o_ref, *,
+            sm_scale, L, quantized, has_bias, has_lengths):
+    q = q_ref[0].astype(jnp.float32)                       # (H, D)
+    k = k_ref[0].astype(jnp.float32)                       # (H, L, D)
+    v = v_ref[0].astype(jnp.float32)
+    if quantized:
+        k = k * ks_ref[0]
+        v = v * vs_ref[0]
+
+    # batched matvec: (H, D) x (H, L, D) -> (H, L)
+    s = jax.lax.dot_general(
+        q, k, (((1,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32) * sm_scale
+    if has_bias:
+        s = s + bias_ref[0].astype(jnp.float32)
+    if has_lengths:
+        pos = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(pos < len_ref[0], s, _NEG_INF)
+
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    p = p / jnp.sum(p, axis=-1, keepdims=True)
+    out = jax.lax.dot_general(
+        p, v, (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)                # (H, D)
+    o_ref[0] = out.astype(o_ref.dtype)
+
+
+def decode_attention(q, k, v, k_scales=None, v_scales=None, lengths=None,
+                     bias=None, *, sm_scale: float = 1.0):
+    """Fused decode attention; semantics of decode_attention_ref."""
+    b, h, d = q.shape
+    L = k.shape[2]
+    quantized = k_scales is not None
+    has_bias = bias is not None
+    has_lengths = lengths is not None
+
+    dummy2 = jnp.zeros((1, 1, 1, 1), jnp.float32)
+    dummy_bias = jnp.zeros((1, 1, 1), jnp.float32)
+    inputs = [
+        (lengths.reshape(b, 1).astype(jnp.int32) if has_lengths
+         else jnp.zeros((b, 1), jnp.int32)),
+        q,
+        k,
+        v,
+        k_scales if quantized else dummy2,
+        v_scales if quantized else dummy2,
+        bias if has_bias else dummy_bias,
+    ]
+    in_specs = [
+        pl.BlockSpec((1, 1), lambda i: (i, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, h, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, h, L, d), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, h, L, d), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+        (pl.BlockSpec((1, h, L, 1), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM)
+         if quantized else
+         pl.BlockSpec((1, 1, 1, 1), lambda i: (0, 0, 0, 0), memory_space=pltpu.VMEM)),
+        (pl.BlockSpec((1, h, L, 1), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM)
+         if quantized else
+         pl.BlockSpec((1, 1, 1, 1), lambda i: (0, 0, 0, 0), memory_space=pltpu.VMEM)),
+        (pl.BlockSpec((1, h, L), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+         if has_bias else
+         pl.BlockSpec((1, 1, 1), lambda i: (0, 0, 0), memory_space=pltpu.VMEM)),
+    ]
+    kern = functools.partial(_kernel, sm_scale=sm_scale, L=L,
+                             quantized=quantized, has_bias=has_bias,
+                             has_lengths=has_lengths)
+    return pl.pallas_call(
+        kern, grid=(b,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, h, d), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, h, d), q.dtype),
+        interpret=interpret_mode(),
+    )(*inputs)

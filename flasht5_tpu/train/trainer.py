@@ -47,6 +47,9 @@ class TrainerConfig:
     data_parallel: int = 1
     tensor_parallel: int = 1
     kahan_sum: bool = False
+    # optimizer state dtype (reference use_state_dtype, adamw_scaled.py:102):
+    # "bfloat16" halves optimizer memory at some fidelity cost
+    state_dtype: Optional[str] = None
 
 
 def masked_accuracy(logits: np.ndarray, labels: np.ndarray) -> float:
@@ -77,7 +80,9 @@ class Trainer:
 
         tx = adamw_scale(self.schedule, b1=tcfg.adam_beta1, b2=tcfg.adam_beta2,
                          eps=tcfg.adam_epsilon, weight_decay=tcfg.weight_decay,
-                         kahan_sum=tcfg.kahan_sum, mask=no_decay_mask)
+                         kahan_sum=tcfg.kahan_sum, mask=no_decay_mask,
+                         state_dtype=(jnp.dtype(tcfg.state_dtype)
+                                      if tcfg.state_dtype else None))
         if tcfg.gradient_clip_norm:
             tx = optax.chain(optax.clip_by_global_norm(tcfg.gradient_clip_norm), tx)
         self.tx = tx

@@ -101,6 +101,18 @@ class Roofline:
         }
 
 
+def peak_memory_bytes(fn: Callable, *args) -> Optional[int]:
+    """Peak device memory of one fn call (reference benchmark_memory
+    parity, benchmarks/benchmark_utils.py:258-268). Returns None when the
+    backend doesn't expose memory_stats (e.g. CPU)."""
+    dev = jax.devices()[0]
+    if not hasattr(dev, "memory_stats") or dev.memory_stats() is None:
+        return None
+    _sync(fn(*args))
+    stats = dev.memory_stats() or {}
+    return stats.get("peak_bytes_in_use")
+
+
 def roofline(fn: Callable, *args, flops: float, bytes_accessed: float,
              chip: Optional[str] = None, iters: int = 10) -> Roofline:
     """Measure fn and compare against the chip's compute/memory roofline."""

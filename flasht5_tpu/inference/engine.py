@@ -55,6 +55,9 @@ class EngineConfig:
     # round-trip costs ~25ms, so windows of 8-16 amortize it. Finished slots
     # idle until the window ends (bounded over-decode, masked on harvest).
     steps_per_sync: int = 8
+    # Use the fused Pallas decode-attention kernel (ops/decode_attention.py):
+    # one pass over the (int8) cache per layer instead of jnp dequant+einsum.
+    use_decode_kernel: bool = False
 
 
 class KVTensor(typing.NamedTuple):
@@ -260,28 +263,49 @@ class InferenceEngine:
                                     axis=0)                    # (B, L, H)
                     self_bias = jnp.transpose(vals, (0, 2, 1))[:, :, None, :]
 
-                s = jnp.einsum("bhqd,bhnd->bhqn", q.astype(jnp.float32),
-                               _kv_read(self_k)) * config.softmax_scale
-                if self_bias is not None:
-                    s = s + self_bias.astype(jnp.float32)
-                s = jnp.where(self_valid[:, None, None, :], s, -1e30)
-                p = jax.nn.softmax(s, axis=-1)
-                attn = jnp.einsum("bhqn,bhnd->bhqd", p,
-                                  _kv_read(self_v)).astype(x.dtype)
-                attn = jnp.transpose(attn, (0, 2, 1, 3)).reshape(b, 1, h * dkv)
+                if ecfg.use_decode_kernel:
+                    from flasht5_tpu.ops.decode_attention import decode_attention
+                    attn = decode_attention(
+                        q[:, :, 0], self_k.values, self_v.values,
+                        k_scales=self_k.scales, v_scales=self_v.scales,
+                        lengths=pos + 1,
+                        bias=(None if self_bias is None
+                              else self_bias[:, :, 0].astype(jnp.float32)),
+                        sm_scale=config.softmax_scale)
+                    attn = attn.reshape(b, 1, h * dkv)
+                else:
+                    s = jnp.einsum("bhqd,bhnd->bhqn", q.astype(jnp.float32),
+                                   _kv_read(self_k)) * config.softmax_scale
+                    if self_bias is not None:
+                        s = s + self_bias.astype(jnp.float32)
+                    s = jnp.where(self_valid[:, None, None, :], s, -1e30)
+                    p = jax.nn.softmax(s, axis=-1)
+                    attn = jnp.einsum("bhqn,bhnd->bhqd", p,
+                                      _kv_read(self_v)).astype(x.dtype)
+                    attn = jnp.transpose(attn, (0, 2, 1, 3)).reshape(b, 1, h * dkv)
                 x = x + t5._matmul(attn, sa["o"])
 
                 ca = blk["cross_attention_layer"]["cross_attention"]
                 normed = t5._layer_norm(
                     config, blk["cross_attention_layer"]["layer_norm"]["weight"], x)
                 qc = kv_cache._proj_heads(normed, ca["Wq"], h, dkv)
-                s = jnp.einsum("bhqd,bhnd->bhqn", qc.astype(jnp.float32),
-                               _kv_read(cache.cross_k)) * config.softmax_scale
-                s = jnp.where(cross_valid[:, None, None, :], s, -1e30)
-                p = jax.nn.softmax(s, axis=-1)
-                attn = jnp.einsum("bhqn,bhnd->bhqd", p,
-                                  _kv_read(cache.cross_v)).astype(x.dtype)
-                attn = jnp.transpose(attn, (0, 2, 1, 3)).reshape(b, 1, h * dkv)
+                if ecfg.use_decode_kernel:
+                    from flasht5_tpu.ops.decode_attention import decode_attention
+                    attn = decode_attention(
+                        qc[:, :, 0], cache.cross_k.values, cache.cross_v.values,
+                        k_scales=cache.cross_k.scales,
+                        v_scales=cache.cross_v.scales,
+                        lengths=enc_len,
+                        sm_scale=config.softmax_scale)[:, None]
+                    attn = attn.reshape(b, 1, h * dkv)
+                else:
+                    s = jnp.einsum("bhqd,bhnd->bhqn", qc.astype(jnp.float32),
+                                   _kv_read(cache.cross_k)) * config.softmax_scale
+                    s = jnp.where(cross_valid[:, None, None, :], s, -1e30)
+                    p = jax.nn.softmax(s, axis=-1)
+                    attn = jnp.einsum("bhqn,bhnd->bhqd", p,
+                                      _kv_read(cache.cross_v)).astype(x.dtype)
+                    attn = jnp.transpose(attn, (0, 2, 1, 3)).reshape(b, 1, h * dkv)
                 x = x + t5._matmul(attn, ca["o"])
 
                 x = t5._ff(config, blk["ff_layer"], x, rng=None,

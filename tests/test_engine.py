@@ -84,3 +84,26 @@ def test_engine_int8_kv_cache():
         # first tokens (largest margins) to agree
         n = min(3, len(a.result), len(b.result))
         np.testing.assert_array_equal(a.result[:n], b.result[:n])
+
+
+def test_engine_decode_kernel_parity():
+    """The fused Pallas decode kernel path must produce the same tokens as
+    the jnp einsum path (bf16 cache and int8 cache)."""
+    config = tiny_config()
+    params = t5.init_params(jax.random.PRNGKey(0), config)
+    rng = np.random.default_rng(5)
+    mk = lambda: [Request(uid=i, input_ids=rng_i, max_new_tokens=6)
+                  for i, rng_i in enumerate(
+                      [np.random.default_rng(i).integers(2, 256, size=(8,)).astype(np.int32)
+                       for i in range(3)])]
+    ecfg = dict(max_slots=3, max_decode_len=8, max_encode_len=16,
+                encode_buckets=(16,))
+    for kv in ("native", "int8"):
+        base = InferenceEngine(config, params,
+                               EngineConfig(kv_dtype=kv, **ecfg)).run(mk())
+        fused = InferenceEngine(config, params,
+                                EngineConfig(kv_dtype=kv, use_decode_kernel=True,
+                                             **ecfg)).run(mk())
+        for a, b in zip(base, fused):
+            np.testing.assert_array_equal(a.result, b.result,
+                                          err_msg=f"kv={kv}")

@@ -288,6 +288,22 @@ class DataCollatorForUL2:
         labels = [np.concatenate([y, np.full((1, 1), eos, np.int32)], axis=-1)
                   for y in labels]
 
+        # Defensive truncation: when the batch bypasses packing (exactly
+        # batch_size inputs, reference data_collator_ul2.py:129-130) nothing
+        # has enforced the length bounds, and a high-noise-rate denoiser can
+        # emit labels longer than max_labels_length. Truncate, keeping the
+        # terminal EOS on labels.
+        def clamp(x, limit, keep_eos):
+            if x.shape[1] <= limit:
+                return x
+            x = x[:, :limit].copy()
+            if keep_eos:
+                x[:, -1] = eos
+            return x
+
+        labels = [clamp(y, self.max_labels_length, True) for y in labels]
+        inputs = [clamp(x, self.max_length, False) for x in inputs]
+
         if self.causal:
             labels = np.concatenate(
                 [np.pad(y, ((0, 0), (0, self.max_labels_length - y.shape[1])),

@@ -48,6 +48,7 @@ def decode_attention_ref(q, k, v, k_scales=None, v_scales=None,
 
 def _kernel(len_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, bias_ref, o_ref, *,
             sm_scale, L, quantized, has_bias, has_lengths):
+    slot = pl.program_id(0)
     q = q_ref[0].astype(jnp.float32)                       # (H, D)
     k = k_ref[0].astype(jnp.float32)                       # (H, L, D)
     v = v_ref[0].astype(jnp.float32)
@@ -55,22 +56,21 @@ def _kernel(len_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, bias_ref, o_ref, *,
         k = k * ks_ref[0]
         v = v * vs_ref[0]
 
-    # batched matvec: (H, D) x (H, L, D) -> (H, L)
-    s = jax.lax.dot_general(
-        q, k, (((1,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32) * sm_scale
+    # per-head matvec as broadcast multiply+reduce: (H,1,D)*(H,L,D) -> (H,L).
+    # VPU, not MXU — a matvec can't fill the systolic array and Mosaic can't
+    # lower batched dot_general with a 2D lhs; decode is HBM-bound so the
+    # VPU form is already at the roofline.
+    s = jnp.sum(q[:, None, :] * k, axis=-1) * sm_scale
     if has_bias:
         s = s + bias_ref[0].astype(jnp.float32)
     if has_lengths:
         pos = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        s = jnp.where(pos < len_ref[0], s, _NEG_INF)
+        s = jnp.where(pos < len_ref[slot, 0], s, _NEG_INF)
 
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - m)
     p = p / jnp.sum(p, axis=-1, keepdims=True)
-    out = jax.lax.dot_general(
-        p, v, (((1,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)                # (H, D)
+    out = jnp.sum(p[:, :, None] * v, axis=1)               # (H, D)
     o_ref[0] = out.astype(o_ref.dtype)
 
 
@@ -96,7 +96,9 @@ def decode_attention(q, k, v, k_scales=None, v_scales=None, lengths=None,
         bias if has_bias else dummy_bias,
     ]
     in_specs = [
-        pl.BlockSpec((1, 1), lambda i: (i, 0), memory_space=pltpu.SMEM),
+        # full (B, 1) table in SMEM (per-slot blocks violate Mosaic's
+        # block-shape rule); the kernel indexes it by program id
+        pl.BlockSpec((b, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
         pl.BlockSpec((1, h, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, h, L, d), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, h, L, d), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),

@@ -53,6 +53,18 @@ def quantize_int8(w: jnp.ndarray) -> QuantizedTensor:
     return QuantizedTensor(q, scales)
 
 
+def quantize_fp8(w: jnp.ndarray) -> QuantizedTensor:
+    """Per-output-channel FP8 (e4m3) quantization: scale each column so its
+    absmax maps to the e4m3 max (448); 4 bits of mantissa beat int8 for
+    near-zero weights at the same byte width (north-star: "INT8/FP8
+    weight-only")."""
+    w32 = w.astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(w32), axis=0, keepdims=True)
+    scales = jnp.where(absmax > 0, absmax / 448.0, 1.0)
+    q = (w32 / scales).astype(jnp.float8_e4m3fn)
+    return QuantizedTensor(q, scales)
+
+
 def dequantize(qt: QuantizedTensor, dtype=jnp.float32) -> jnp.ndarray:
     return (qt.qvalues.astype(jnp.float32) * qt.scales).astype(dtype)
 
@@ -100,8 +112,8 @@ def quant_matmul(x: jnp.ndarray, qt: QuantizedTensor,
     bm = min(block_m, max(8, ((m_dim + 7) // 8) * 8))
     bn = min(block_n, n_dim)
     bk = min(block_k, k_dim)
-    if n_dim % bn or k_dim % bk:
-        # fall back for awkward shapes; XLA still fuses the dequant
+    if n_dim % bn or k_dim % bk or qt.qvalues.dtype != jnp.int8:
+        # awkward shapes or fp8 storage: XLA path (still fuses the dequant)
         return quant_matmul_ref(x, qt)
 
     pad_m = (-m_dim) % bm

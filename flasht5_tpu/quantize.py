@@ -16,7 +16,12 @@ from typing import Any
 
 import jax
 
-from flasht5_tpu.ops.quant import QuantizedTensor, dequantize, quantize_int8
+from flasht5_tpu.ops.quant import (
+    QuantizedTensor,
+    dequantize,
+    quantize_fp8,
+    quantize_int8,
+)
 
 _QUANT_KEYS = ("'Wq'", "'Wk'", "'Wv'", "['o']", "'wi'", "'wi_0'", "'wi_1'",
                "'wo'", "lm_head")
@@ -30,12 +35,13 @@ def _should_quantize(path_str: str, leaf) -> bool:
     return any(k in path_str for k in _QUANT_KEYS)
 
 
-def quantize_params(params: Any) -> Any:
-    """Quantize all eligible linears to INT8. Returns a new pytree."""
+def quantize_params(params: Any, mode: str = "int8") -> Any:
+    """Quantize all eligible linears to INT8 or FP8. Returns a new pytree."""
+    quantizer = {"int8": quantize_int8, "fp8": quantize_fp8}[mode]
 
     def leaf(path, x):
         if _should_quantize(jax.tree_util.keystr(path), x):
-            return quantize_int8(x)
+            return quantizer(x)
         return x
 
     return jax.tree_util.tree_map_with_path(

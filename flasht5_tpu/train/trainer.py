@@ -35,6 +35,7 @@ class TrainerConfig:
     adam_epsilon: float = 1e-6
     weight_decay: float = 0.0
     max_steps: int = 1000
+    gradient_accumulation_steps: int = 1
     warmup_steps: int = 0
     warmup_ratio: float = 0.0
     lr_scheduler: str = "cosine"          # "cosine" | "wsd" | "constant"
@@ -85,6 +86,10 @@ class Trainer:
                                       if tcfg.state_dtype else None))
         if tcfg.gradient_clip_norm:
             tx = optax.chain(optax.clip_by_global_norm(tcfg.gradient_clip_norm), tx)
+        if tcfg.gradient_accumulation_steps > 1:
+            # accumulate on-device across micro-batches (the reference gets
+            # this from HF Trainer's gradient_accumulation_steps)
+            tx = optax.MultiSteps(tx, tcfg.gradient_accumulation_steps)
         self.tx = tx
 
         abstract = jax.eval_shape(

@@ -207,3 +207,35 @@ def test_remat_matches_plain():
     for x, y in zip(jax.tree.leaves(ga), jax.tree.leaves(gb)):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-5,
                                    rtol=1e-4)
+
+
+def test_non_glu_relu_mlp():
+    config = tiny_config(use_glu_mlp=False, use_gelu_act=False)
+    params = t5.init_params(jax.random.PRNGKey(0), config)
+    assert "wi" in params["encoder"]["block"][0]["ff_layer"]["act"]
+    ids, lbl = _batch(config)
+    out = t5.forward(config, params, input_ids=ids, labels=lbl)
+    assert np.isfinite(float(out["loss"]))
+
+
+def test_use_masking_changes_output():
+    """use_masking folds the padding mask into the bias
+    (reference: modeling_flash_t5.py:266-270); masked encoders must differ
+    from unmasked ones when padding is present."""
+    base = tiny_config(use_full_bias_size=True, dtype="float32")
+    masked = base.replace(use_masking=True)
+    params = t5.init_params(jax.random.PRNGKey(0), base)
+    ids, lbl = _batch(base, m=12)
+    mask = jnp.ones((2, 12), bool).at[:, 8:].set(False)
+    out_m = t5.forward(masked, params, input_ids=ids, attention_mask=mask,
+                       labels=lbl)
+    out_u = t5.forward(base, params, input_ids=ids, attention_mask=mask,
+                       labels=lbl)
+    assert not np.allclose(np.asarray(out_m["logits"]),
+                           np.asarray(out_u["logits"]))
+    # and full-visibility masks are a no-op
+    full = jnp.ones((2, 12), bool)
+    out_f = t5.forward(masked, params, input_ids=ids, attention_mask=full,
+                       labels=lbl)
+    np.testing.assert_allclose(np.asarray(out_f["logits"]),
+                               np.asarray(out_u["logits"]), atol=1e-5)

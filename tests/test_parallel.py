@@ -61,3 +61,20 @@ def test_sharded_loss_matches_single_device():
     loss_single = sharded_train_step(config, make_mesh(1, 1), ids, lbl)
     np.testing.assert_allclose(float(loss_sharded), float(loss_single),
                                rtol=1e-4)
+
+
+def test_xl_shapes_shard_cleanly():
+    """FLAN-XL dims (reference configs/flan/fat5-flan-xl.yaml) must divide
+    over tensor=4 and 8 under the sharding rules (no ragged shards)."""
+    config = FlashT5Config(vocab_size=32128, d_model=2048, d_kv=64,
+                           num_heads=32, d_ff=5120, num_layers=24)
+    params = jax.eval_shape(lambda r: t5.init_params(r, config),
+                            jax.random.PRNGKey(0))
+    specs = param_pspecs(params)
+    for t in (4, 8):
+        for (path, leaf), (_, spec) in zip(
+                jax.tree_util.tree_leaves_with_path(params),
+                jax.tree_util.tree_leaves_with_path(specs)):
+            for dim, axis in zip(leaf.shape, tuple(spec) + (None,) * leaf.ndim):
+                if axis == "tensor":
+                    assert dim % t == 0, (jax.tree_util.keystr(path), dim, t)

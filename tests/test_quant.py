@@ -100,3 +100,31 @@ def test_quantized_forward_close_and_generate():
     # kernel computes in bf16, dequantized tree in fp32 — small drift expected
     np.testing.assert_allclose(np.asarray(out_d["logits"]),
                                np.asarray(out_q["logits"]), atol=5e-2, rtol=1e-2)
+
+
+def test_fp8_quantization():
+    from flasht5_tpu.ops.quant import quantize_fp8
+
+    w = jax.random.normal(jax.random.PRNGKey(0), (256, 512)) * 0.1
+    qt = quantize_fp8(w)
+    assert qt.qvalues.dtype == jnp.float8_e4m3fn
+    err = np.abs(np.asarray(dequantize(qt)) - np.asarray(w))
+    # e4m3 relative error ~2^-3 of each value's magnitude
+    assert err.max() < float(np.abs(np.asarray(w)).max()) * 0.08
+    out = quant_matmul(jax.random.normal(jax.random.PRNGKey(1), (16, 256)), qt)
+    ref = quant_matmul_ref(jax.random.normal(jax.random.PRNGKey(1), (16, 256)), qt)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_quantize_params_fp8_forward():
+    config = FlashT5Config(vocab_size=256, d_model=64, d_kv=16, num_heads=4,
+                           d_ff=128, num_layers=1, dropout_rate=0.0,
+                           attention_scale=1.0, dtype="float32", pad_token_id=0)
+    params = t5.init_params(jax.random.PRNGKey(0), config)
+    qp = quantize_params(params, mode="fp8")
+    ids = jax.random.randint(jax.random.PRNGKey(1), (2, 10), 2, 256)
+    lbl = jax.random.randint(jax.random.PRNGKey(2), (2, 6), 2, 256)
+    out_q = t5.forward(config, qp, input_ids=ids, labels=lbl)
+    out_f = t5.forward(config, params, input_ids=ids, labels=lbl)
+    np.testing.assert_allclose(np.asarray(out_q["logits"]),
+                               np.asarray(out_f["logits"]), atol=0.2, rtol=0.5)

@@ -8,6 +8,7 @@ import numpy as np
 import pytest
 
 from flasht5_tpu.config import FlashT5Config
+from flasht5_tpu.models import t5
 from flasht5_tpu.train import Trainer, TrainerConfig
 
 
@@ -80,3 +81,41 @@ def test_data_parallel_trainer():
     result = tr.train(batches(3, b=8))
     assert result["final_step"] == 3
     assert np.isfinite(result["logs"][-1]["loss"])
+
+
+def test_gradient_accumulation():
+    """accum=2 over two half-batches must land where accum=1 over the full
+    batch lands (same effective update)."""
+    import jax.numpy as jnp
+
+    # constant LR: the cosine schedule depends on max_steps, which differs
+    # between the two runs by construction
+    cfg_a = TrainerConfig(max_steps=2, gradient_accumulation_steps=2,
+                          logging_steps=1, learning_rate=1e-2,
+                          lr_scheduler="constant")
+    cfg_b = TrainerConfig(max_steps=1, logging_steps=1, learning_rate=1e-2,
+                          lr_scheduler="constant")
+    rng = np.random.default_rng(3)
+    full = {"input_ids": rng.integers(2, 128, size=(8, 16)).astype(np.int32),
+            "labels": rng.integers(2, 128, size=(8, 8)).astype(np.int32)}
+    halves = [{k: v[:4] for k, v in full.items()},
+              {k: v[4:] for k, v in full.items()}]
+
+    tr_a = Trainer(tiny_config(), cfg_a)
+    tr_a.train(iter(halves))
+    tr_b = Trainer(tiny_config(), cfg_b)
+    tr_b.train(iter([full]))
+    wa = np.asarray(tr_a.params["encoder"]["block"][0]["self_attention_layer"]
+                    ["self_attention"]["Wq"])
+    wb = np.asarray(tr_b.params["encoder"]["block"][0]["self_attention_layer"]
+                    ["self_attention"]["Wq"])
+    # averaged half-batch grads match full-batch grads to ~3e-8; the residual
+    # param difference is Adam-eps-level (Adam updates are scale-invariant,
+    # so grad sum-vs-mean conventions differ only through eps)
+    np.testing.assert_allclose(wa, wb, atol=1e-3, rtol=1e-2)
+    w0 = np.asarray(t5.init_params(jax.random.PRNGKey(0), tiny_config())
+                    ["encoder"]["block"][0]["self_attention_layer"]
+                    ["self_attention"]["Wq"])
+    # exactly one effective update happened (params moved comparably)
+    assert np.abs(wa - w0).max() > 1e-4
+    assert np.abs(wa - w0).max() < 10 * np.abs(wb - w0).max()

@@ -41,12 +41,16 @@ def main():
                      max_encode_len=enc_len, encode_buckets=(enc_len,))
 
     modes = [
-        ("bf16", params, "native"),
-        ("int8_weights", quantize_params(params), "native"),
-        ("int8_weights_kv", quantize_params(params), "int8"),
+        ("bf16", params, "native", False),
+        ("int8_weights", quantize_params(params), "native", False),
+        ("int8_weights_kv", quantize_params(params), "int8", False),
+        ("int8_wkv_fused_kernel", quantize_params(params), "int8", True),
     ]
-    for tag, p, kv in modes:
-        engine = InferenceEngine(config, p, EngineConfig(kv_dtype=kv, **ecfg_base))
+    for tag, p, kv, kern in modes:
+        engine = InferenceEngine(config, p,
+                                 EngineConfig(kv_dtype=kv,
+                                              use_decode_kernel=kern,
+                                              **ecfg_base))
         # measure TTFT on a single warm request (prefill + 1 decode step)
         warm = engine.run(mk_reqs()[:slots])  # compile everything
         t0 = time.perf_counter()

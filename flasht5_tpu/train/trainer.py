@@ -153,6 +153,9 @@ class Trainer:
                           "opt_state": self.opt_state,
                           "step": jnp.asarray(step)}, force=True)
         ckptr.wait_until_finished()
+        # persist the model config beside the weights (HF-style config.json)
+        with open(os.path.join(self.tcfg.output_dir, "config.json"), "w") as f:
+            f.write(self.config.to_json())
         return path
 
     def restore_checkpoint(self, path: str):

@@ -119,3 +119,18 @@ def test_gradient_accumulation():
     # exactly one effective update happened (params moved comparably)
     assert np.abs(wa - w0).max() > 1e-4
     assert np.abs(wa - w0).max() < 10 * np.abs(wb - w0).max()
+
+
+def test_checkpoint_saves_config(tmp_path):
+    import json
+    import os
+
+    cfg = TrainerConfig(max_steps=1, output_dir=str(tmp_path / "c"))
+    tr = Trainer(tiny_config(), cfg)
+    tr.train(batches(1))
+    tr.save_checkpoint(1)
+    with open(os.path.join(cfg.output_dir, "config.json")) as f:
+        loaded = json.load(f)
+    restored = FlashT5Config.from_dict(loaded)
+    assert restored.d_model == tiny_config().d_model
+    assert restored.num_heads == tiny_config().num_heads

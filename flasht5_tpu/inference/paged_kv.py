@@ -1,0 +1,257 @@
+"""Paged KV cache: global page pool + per-slot page tables + ragged decode.
+
+North-star serving component (PAPERS: "Ragged Paged Attention ... for TPU").
+The slot-pool engine allocates max_decode_len per slot; paging replaces that
+with a shared pool of fixed-size pages so memory scales with TOKENS IN
+FLIGHT, not slots x worst-case length — the enabler for large mixed-length
+request batches.
+
+Device state:
+    pages_k/pages_v: (num_pages, H, page_size, D)   [bf16/fp32 or int8]
+    (+ per-position scales (num_pages, H, page_size, 1) when quantized)
+    page_table:      (max_slots, max_pages_per_slot) int32 page ids
+    lengths:         (max_slots,) tokens written per slot
+
+Host state: a free-list allocator (the scheduler already lives host-side).
+
+The decode kernel uses PrefetchScalarGridSpec: the page table is a
+scalar-prefetch operand, so each (slot, j) grid cell's BlockSpec index_map
+dereferences page_table[slot, j] to DMA exactly that page — the TPU-idiomatic
+form of "paged attention" (indices drive the DMA schedule, not gathers).
+Online softmax accumulates across a slot's pages in VMEM scratch.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from flasht5_tpu.ops.quant import quantize_kv
+from flasht5_tpu.runtime import interpret_mode
+
+_NEG_INF = -1e30
+
+
+# ---------------------------------------------------------------------------
+# Pool + allocator
+# ---------------------------------------------------------------------------
+
+class PagedKVPool:
+    """Device page pool with a host-side free-list allocator."""
+
+    def __init__(self, num_pages: int, num_heads: int, page_size: int,
+                 head_dim: int, max_slots: int, max_pages_per_slot: int,
+                 dtype=jnp.float32, quantized: bool = False):
+        self.page_size = page_size
+        self.quantized = quantized
+        store = jnp.int8 if quantized else dtype
+        self.pages_k = jnp.zeros((num_pages, num_heads, page_size, head_dim), store)
+        self.pages_v = jnp.zeros_like(self.pages_k)
+        if quantized:
+            self.scales_k = jnp.zeros((num_pages, num_heads, page_size, 1), jnp.float32)
+            self.scales_v = jnp.zeros_like(self.scales_k)
+        else:
+            self.scales_k = self.scales_v = None
+        self.page_table = jnp.zeros((max_slots, max_pages_per_slot), jnp.int32)
+        self.lengths = jnp.zeros((max_slots,), jnp.int32)
+        self._free: List[int] = list(range(num_pages))
+        self._owned: List[List[int]] = [[] for _ in range(max_slots)]
+
+    # -- host-side allocation --
+    def alloc_page(self, slot: int) -> int:
+        if not self._free:
+            raise RuntimeError("KV page pool exhausted")
+        page = self._free.pop()
+        idx = len(self._owned[slot])
+        self._owned[slot].append(page)
+        self.page_table = self.page_table.at[slot, idx].set(page)
+        return page
+
+    def ensure_capacity(self, slot: int, tokens: int):
+        while len(self._owned[slot]) * self.page_size < tokens:
+            self.alloc_page(slot)
+
+    def release(self, slot: int):
+        self._free.extend(self._owned[slot])
+        self._owned[slot] = []
+        self.lengths = self.lengths.at[slot].set(0)
+
+    # -- device-side append --
+    def append(self, slot_ids: jnp.ndarray, k_new: jnp.ndarray,
+               v_new: jnp.ndarray):
+        """Append one token's K/V for each listed slot.
+
+        slot_ids: (B,) int32; k_new/v_new: (B, H, D). Positions are the
+        slots' current lengths (ensure_capacity first).
+        """
+        pos = self.lengths[slot_ids]
+        page_idx = pos // self.page_size
+        offset = pos % self.page_size
+        page_ids = self.page_table[slot_ids, page_idx]
+        if self.quantized:
+            kq, ks = quantize_kv(k_new)
+            vq, vs = quantize_kv(v_new)
+            self.pages_k = self.pages_k.at[page_ids, :, offset].set(
+                kq.astype(self.pages_k.dtype))
+            self.pages_v = self.pages_v.at[page_ids, :, offset].set(
+                vq.astype(self.pages_v.dtype))
+            self.scales_k = self.scales_k.at[page_ids, :, offset].set(ks)
+            self.scales_v = self.scales_v.at[page_ids, :, offset].set(vs)
+        else:
+            self.pages_k = self.pages_k.at[page_ids, :, offset].set(
+                k_new.astype(self.pages_k.dtype))
+            self.pages_v = self.pages_v.at[page_ids, :, offset].set(
+                v_new.astype(self.pages_v.dtype))
+        self.lengths = self.lengths.at[slot_ids].add(1)
+
+
+# ---------------------------------------------------------------------------
+# Reference
+# ---------------------------------------------------------------------------
+
+def paged_decode_attention_ref(q, pool: PagedKVPool, *, sm_scale=1.0,
+                               bias=None):
+    """Oracle: gather each slot's pages densely, run masked attention.
+
+    q: (max_slots, H, D); bias: (max_slots, H, max_pages*page_size) or None.
+    """
+    b, h, d = q.shape
+    P = pool.page_size
+    maxp = pool.page_table.shape[1]
+    # (B, maxp, H, P, D) -> (B, H, maxp*P, D)
+    k = pool.pages_k[pool.page_table]
+    v = pool.pages_v[pool.page_table]
+    if pool.quantized:
+        k = k.astype(jnp.float32) * pool.scales_k[pool.page_table]
+        v = v.astype(jnp.float32) * pool.scales_v[pool.page_table]
+    k = jnp.transpose(k, (0, 2, 1, 3, 4)).reshape(b, h, maxp * P, d)
+    v = jnp.transpose(v, (0, 2, 1, 3, 4)).reshape(b, h, maxp * P, d)
+    s = jnp.einsum("bhd,bhld->bhl", q.astype(jnp.float32),
+                   k.astype(jnp.float32)) * sm_scale
+    if bias is not None:
+        s = s + bias.astype(jnp.float32)
+    pos = jnp.arange(maxp * P)
+    s = jnp.where(pos[None, None, :] < pool.lengths[:, None, None], s, _NEG_INF)
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("bhl,bhld->bhd", p, v.astype(jnp.float32)).astype(q.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Pallas kernel
+# ---------------------------------------------------------------------------
+
+def _paged_kernel(pt_ref, len_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref,
+                  bias_ref, o_ref, m_scr, l_scr, acc_scr, *,
+                  sm_scale, page_size, quantized, has_bias):
+    b = pl.program_id(0)
+    j = pl.program_id(1)
+    n_pages = pl.num_programs(1)
+
+    @pl.when(j == 0)
+    def _init():
+        m_scr[...] = jnp.full_like(m_scr, _NEG_INF)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    length = len_ref[b]
+    # skip pages entirely past this slot's length
+    @pl.when(j * page_size < length)
+    def _compute():
+        q = q_ref[0].astype(jnp.float32)                  # (H, D)
+        k = k_ref[0].astype(jnp.float32)                  # (H, P, D)
+        v = v_ref[0].astype(jnp.float32)
+        if quantized:
+            k = k * ks_ref[0]
+            v = v * vs_ref[0]
+        s = jnp.sum(q[:, None, :] * k, axis=-1) * sm_scale    # (H, P)
+        if has_bias:
+            s = s + bias_ref[0, 0].astype(jnp.float32)        # (H, P)
+        pos = j * page_size + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(pos < length, s, _NEG_INF)
+
+        m_prev = m_scr[...]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.where(pos < length, jnp.exp(s - m_new), 0.0)
+        l_scr[...] = l_scr[...] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        m_scr[...] = m_new
+        acc_scr[...] = acc_scr[...] * alpha + jnp.sum(p[:, :, None] * v, axis=1)
+
+    @pl.when(j == n_pages - 1)
+    def _finalize():
+        l = l_scr[...]
+        l_safe = jnp.where(l > 0.0, l, 1.0)
+        o_ref[0] = (acc_scr[...] / l_safe).astype(o_ref.dtype)
+
+
+def paged_decode_attention(q, pool: PagedKVPool, *, sm_scale: float = 1.0,
+                           bias: Optional[jnp.ndarray] = None):
+    """Ragged paged decode attention; semantics of the dense oracle.
+
+    q: (max_slots, H, D); bias: (max_slots, H, max_pages*page_size) or None.
+    """
+    b, h, d = q.shape
+    P = pool.page_size
+    maxp = pool.page_table.shape[1]
+    quantized = pool.quantized
+    has_bias = bias is not None
+
+    dummy_s = jnp.zeros((1, 1, 1, 1), jnp.float32)
+    if has_bias:
+        bias_in = bias.reshape(b, h, maxp, P).transpose(0, 2, 1, 3)  # (B,maxp,H,P)
+    else:
+        bias_in = jnp.zeros((1, 1, 1, 1), jnp.float32)
+
+    def page_map(bb, jj, pt, ln):
+        return (pt[bb, jj], 0, 0, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(b, maxp),
+        in_specs=[
+            pl.BlockSpec((1, h, d), lambda bb, jj, pt, ln: (bb, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h, P, d), page_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h, P, d), page_map, memory_space=pltpu.VMEM),
+            (pl.BlockSpec((1, h, P, 1), page_map, memory_space=pltpu.VMEM)
+             if quantized else
+             pl.BlockSpec((1, 1, 1, 1), lambda bb, jj, pt, ln: (0, 0, 0, 0),
+                          memory_space=pltpu.VMEM)),
+            (pl.BlockSpec((1, h, P, 1), page_map, memory_space=pltpu.VMEM)
+             if quantized else
+             pl.BlockSpec((1, 1, 1, 1), lambda bb, jj, pt, ln: (0, 0, 0, 0),
+                          memory_space=pltpu.VMEM)),
+            (pl.BlockSpec((1, 1, h, P), lambda bb, jj, pt, ln: (bb, jj, 0, 0),
+                          memory_space=pltpu.VMEM)
+             if has_bias else
+             pl.BlockSpec((1, 1, 1, 1), lambda bb, jj, pt, ln: (0, 0, 0, 0),
+                          memory_space=pltpu.VMEM)),
+        ],
+        out_specs=pl.BlockSpec((1, h, d), lambda bb, jj, pt, ln: (bb, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((h, 1), jnp.float32),
+            pltpu.VMEM((h, 1), jnp.float32),
+            pltpu.VMEM((h, d), jnp.float32),
+        ],
+    )
+    kern = functools.partial(_paged_kernel, sm_scale=sm_scale, page_size=P,
+                             quantized=quantized, has_bias=has_bias)
+
+    def run(pt, lengths, q, pk, pv, sk, sv, bias_in):
+        return pl.pallas_call(
+            kern, grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((b, h, d), q.dtype),
+            interpret=interpret_mode(),
+        )(pt, lengths, q, pk, pv, sk, sv, bias_in)
+
+    return run(pool.page_table, pool.lengths, q, pool.pages_k, pool.pages_v,
+               pool.scales_k if quantized else dummy_s,
+               pool.scales_v if quantized else dummy_s,
+               bias_in)

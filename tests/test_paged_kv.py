@@ -1,0 +1,80 @@
+"""Paged KV pool + ragged paged decode attention tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flasht5_tpu.inference.paged_kv import (
+    PagedKVPool,
+    paged_decode_attention,
+    paged_decode_attention_ref,
+)
+
+
+def _fill_pool(quantized=False, seed=0, slots=4, P=16, maxp=4, h=4, d=32):
+    pool = PagedKVPool(num_pages=32, num_heads=h, page_size=P, head_dim=d,
+                       max_slots=slots, max_pages_per_slot=maxp,
+                       quantized=quantized)
+    rng = np.random.default_rng(seed)
+    lengths = [37, 16, 5, 60][:slots]
+    for slot, L in enumerate(lengths):
+        pool.ensure_capacity(slot, L)
+        for _ in range(L):
+            k_new = jnp.asarray(rng.normal(size=(1, h, d)), jnp.float32)
+            v_new = jnp.asarray(rng.normal(size=(1, h, d)), jnp.float32)
+            pool.append(jnp.asarray([slot]), k_new, v_new)
+    return pool, lengths
+
+
+def test_allocator_and_lengths():
+    pool, lengths = _fill_pool()
+    np.testing.assert_array_equal(np.asarray(pool.lengths), lengths)
+    # pages allocated = ceil(L/P) per slot
+    assert [len(o) for o in pool._owned] == [3, 1, 1, 4]
+    free_before = len(pool._free)
+    pool.release(0)
+    assert len(pool._free) == free_before + 3
+    assert int(pool.lengths[0]) == 0
+
+
+def test_pool_exhaustion():
+    pool = PagedKVPool(num_pages=2, num_heads=2, page_size=4, head_dim=8,
+                       max_slots=2, max_pages_per_slot=4)
+    pool.ensure_capacity(0, 8)  # takes both pages
+    with pytest.raises(RuntimeError):
+        pool.ensure_capacity(1, 1)
+
+
+@pytest.mark.parametrize("quantized", [False, True])
+@pytest.mark.parametrize("with_bias", [False, True])
+def test_paged_attention_matches_oracle(quantized, with_bias):
+    pool, lengths = _fill_pool(quantized=quantized)
+    h, d, P, maxp = 4, 32, 16, 4
+    q = jax.random.normal(jax.random.PRNGKey(1), (4, h, d), jnp.float32)
+    bias = (jax.random.normal(jax.random.PRNGKey(2), (4, h, maxp * P),
+                              jnp.float32) * 0.3 if with_bias else None)
+    out = paged_decode_attention(q, pool, sm_scale=0.2, bias=bias)
+    ref = paged_decode_attention_ref(q, pool, sm_scale=0.2, bias=bias)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-3,
+                               rtol=1e-2)
+
+
+def test_paged_matches_dense_decode():
+    """Paged attention over pool contents == dense decode_attention over the
+    same tokens (cross-implementation consistency)."""
+    from flasht5_tpu.ops.decode_attention import decode_attention_ref
+
+    pool, lengths = _fill_pool()
+    h, d, P, maxp = 4, 32, 16, 4
+    q = jax.random.normal(jax.random.PRNGKey(1), (4, h, d), jnp.float32)
+    out = paged_decode_attention(q, pool, sm_scale=0.2)
+
+    # rebuild the dense cache
+    k = pool.pages_k[pool.page_table]        # (B, maxp, H, P, D)
+    k = jnp.transpose(k, (0, 2, 1, 3, 4)).reshape(4, h, maxp * P, d)
+    v = pool.pages_v[pool.page_table]
+    v = jnp.transpose(v, (0, 2, 1, 3, 4)).reshape(4, h, maxp * P, d)
+    dense = decode_attention_ref(q, k, v, lengths=pool.lengths, sm_scale=0.2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(dense), atol=3e-3,
+                               rtol=1e-2)

@@ -134,6 +134,26 @@ def main():
                                lengths=lengths, bias=biasd, sm_scale=0.125),
           atol=1e-2)  # TPU exp/rsqrt approximations vs the CPU-evaluated oracle
 
+    # ---- ragged paged decode attention (scalar-prefetch page tables) ----
+    from flasht5_tpu.inference.paged_kv import (
+        PagedKVPool, paged_decode_attention, paged_decode_attention_ref)
+    import numpy as _np
+    for quantized in (False, True):
+        pool = PagedKVPool(num_pages=32, num_heads=H, page_size=32,
+                           head_dim=D, max_slots=4, max_pages_per_slot=4,
+                           quantized=quantized)
+        prng = _np.random.default_rng(0)
+        for slot, L in enumerate([100, 32, 7, 128]):
+            pool.ensure_capacity(slot, L)
+            for _ in range(L):
+                pool.append(jnp.asarray([slot]),
+                            jnp.asarray(prng.normal(size=(1, H, D)), jnp.float32),
+                            jnp.asarray(prng.normal(size=(1, H, D)), jnp.float32))
+        qp = jax.random.normal(ks[0], (4, H, D), jnp.float32)
+        check(f"paged decode quant={quantized}",
+              jax.jit(lambda q: paged_decode_attention(q, pool, sm_scale=0.125))(qp),
+              paged_decode_attention_ref(qp, pool, sm_scale=0.125), atol=1e-2)
+
     print("ALL OK" if not FAILURES else f"FAILURES: {FAILURES}", flush=True)
     sys.exit(1 if FAILURES else 0)
 

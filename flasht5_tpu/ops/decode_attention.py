@@ -1,11 +1,12 @@
 """Fused batched decode attention over (quantized) KV caches.
 
-North-star serving kernel: one Pallas pass per batch slot computes
-single-query attention against that slot's KV cache — INT8 dequant, per-slot
-length masking, and the optional per-slot T5 bias row all fused, so the HBM
-traffic is exactly one read of the (int8) cache. The engine's jnp path
-materializes the dequantized cache in fp32 first; this kernel is the
-bandwidth-optimal form (decode is HBM-bound: bytes read ≈ latency).
+North-star serving kernel: chunked single-query attention per batch slot —
+INT8 dequant, per-slot length masking, and the optional per-slot T5 bias row
+all fused, so the HBM traffic is exactly one read of the cache at its stored
+(int8) width. The cache is streamed in L-chunks with online softmax in VMEM
+scratch, so arbitrarily long caches fit the VMEM budget (an unchunked
+variant OOMed scoped VMEM at L=2048: the fp32 dequant temporaries are
+chunk-sized now).
 
 Layout: q (B, H, D); k/v (B, H, L, D) in bf16/fp32 or int8(+scales
 (B, H, L, 1)); lengths (B,) valid cache positions; bias (B, H, L) optional.
@@ -25,6 +26,7 @@ from jax.experimental.pallas import tpu as pltpu
 from flasht5_tpu.runtime import interpret_mode
 
 _NEG_INF = -1e30
+_CHUNK = 512
 
 
 def decode_attention_ref(q, k, v, k_scales=None, v_scales=None,
@@ -46,39 +48,72 @@ def decode_attention_ref(q, k, v, k_scales=None, v_scales=None,
     return jnp.einsum("bhl,bhld->bhd", p, vf).astype(q.dtype)
 
 
-def _kernel(len_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, bias_ref, o_ref, *,
-            sm_scale, L, quantized, has_bias, has_lengths):
+def _kernel(len_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, bias_ref, o_ref,
+            m_scr, l_scr, acc_scr, *,
+            sm_scale, chunk, L, quantized, has_bias, has_lengths):
     slot = pl.program_id(0)
+    j = pl.program_id(1)
+    n_chunks = pl.num_programs(1)
+
+    @pl.when(j == 0)
+    def _init():
+        m_scr[...] = jnp.full_like(m_scr, _NEG_INF)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
     q = q_ref[0].astype(jnp.float32)                       # (H, D)
-    k = k_ref[0].astype(jnp.float32)                       # (H, L, D)
+    k = k_ref[0].astype(jnp.float32)                       # (H, C, D)
     v = v_ref[0].astype(jnp.float32)
     if quantized:
         k = k * ks_ref[0]
         v = v * vs_ref[0]
 
-    # per-head matvec as broadcast multiply+reduce: (H,1,D)*(H,L,D) -> (H,L).
-    # VPU, not MXU — a matvec can't fill the systolic array and Mosaic can't
-    # lower batched dot_general with a 2D lhs; decode is HBM-bound so the
-    # VPU form is already at the roofline.
-    s = jnp.sum(q[:, None, :] * k, axis=-1) * sm_scale
+    # per-head matvec as broadcast multiply+reduce (VPU; a matvec can't fill
+    # the MXU and Mosaic can't lower batched dot_general with a 2D lhs —
+    # decode is HBM-bound, so the VPU form is already at the roofline)
+    s = jnp.sum(q[:, None, :] * k, axis=-1) * sm_scale     # (H, C)
     if has_bias:
         s = s + bias_ref[0].astype(jnp.float32)
+    pos = j * chunk + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    valid = pos < L
     if has_lengths:
-        pos = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        s = jnp.where(pos < len_ref[slot, 0], s, _NEG_INF)
+        valid = pos < len_ref[slot, 0]
+    s = jnp.where(valid, s, _NEG_INF)
 
-    m = jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp(s - m)
-    p = p / jnp.sum(p, axis=-1, keepdims=True)
-    out = jnp.sum(p[:, :, None] * v, axis=1)               # (H, D)
-    o_ref[0] = out.astype(o_ref.dtype)
+    m_prev = m_scr[...]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+    alpha = jnp.exp(m_prev - m_new)
+    p = jnp.where(valid, jnp.exp(s - m_new), 0.0)
+    l_scr[...] = l_scr[...] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+    m_scr[...] = m_new
+    acc_scr[...] = acc_scr[...] * alpha + jnp.sum(p[:, :, None] * v, axis=1)
+
+    @pl.when(j == n_chunks - 1)
+    def _finalize():
+        l = l_scr[...]
+        l_safe = jnp.where(l > 0.0, l, 1.0)
+        o_ref[0] = (acc_scr[...] / l_safe).astype(o_ref.dtype)
 
 
 def decode_attention(q, k, v, k_scales=None, v_scales=None, lengths=None,
-                     bias=None, *, sm_scale: float = 1.0):
+                     bias=None, *, sm_scale: float = 1.0,
+                     chunk: int = _CHUNK):
     """Fused decode attention; semantics of decode_attention_ref."""
     b, h, d = q.shape
     L = k.shape[2]
+    chunk = min(chunk, L)
+    pad = (-L) % chunk
+    if pad:
+        widths4 = ((0, 0), (0, 0), (0, pad), (0, 0))
+        k = jnp.pad(k, widths4)
+        v = jnp.pad(v, widths4)
+        if k_scales is not None:
+            k_scales = jnp.pad(k_scales, widths4)
+            v_scales = jnp.pad(v_scales, widths4)
+        if bias is not None:
+            bias = jnp.pad(bias, ((0, 0), (0, 0), (0, pad)))
+    Lp = L + pad
+    n_chunks = Lp // chunk
     quantized = k_scales is not None
     has_bias = bias is not None
     has_lengths = lengths is not None
@@ -98,28 +133,41 @@ def decode_attention(q, k, v, k_scales=None, v_scales=None, lengths=None,
     in_specs = [
         # full (B, 1) table in SMEM (per-slot blocks violate Mosaic's
         # block-shape rule); the kernel indexes it by program id
-        pl.BlockSpec((b, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
-        pl.BlockSpec((1, h, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, h, L, d), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, h, L, d), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
-        (pl.BlockSpec((1, h, L, 1), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM)
+        pl.BlockSpec((b, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, h, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, h, chunk, d), lambda i, j: (i, 0, j, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, h, chunk, d), lambda i, j: (i, 0, j, 0),
+                     memory_space=pltpu.VMEM),
+        (pl.BlockSpec((1, h, chunk, 1), lambda i, j: (i, 0, j, 0),
+                      memory_space=pltpu.VMEM)
          if quantized else
-         pl.BlockSpec((1, 1, 1, 1), lambda i: (0, 0, 0, 0), memory_space=pltpu.VMEM)),
-        (pl.BlockSpec((1, h, L, 1), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM)
+         pl.BlockSpec((1, 1, 1, 1), lambda i, j: (0, 0, 0, 0),
+                      memory_space=pltpu.VMEM)),
+        (pl.BlockSpec((1, h, chunk, 1), lambda i, j: (i, 0, j, 0),
+                      memory_space=pltpu.VMEM)
          if quantized else
-         pl.BlockSpec((1, 1, 1, 1), lambda i: (0, 0, 0, 0), memory_space=pltpu.VMEM)),
-        (pl.BlockSpec((1, h, L), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+         pl.BlockSpec((1, 1, 1, 1), lambda i, j: (0, 0, 0, 0),
+                      memory_space=pltpu.VMEM)),
+        (pl.BlockSpec((1, h, chunk), lambda i, j: (i, 0, j),
+                      memory_space=pltpu.VMEM)
          if has_bias else
-         pl.BlockSpec((1, 1, 1), lambda i: (0, 0, 0), memory_space=pltpu.VMEM)),
+         pl.BlockSpec((1, 1, 1), lambda i, j: (0, 0, 0),
+                      memory_space=pltpu.VMEM)),
     ]
-    kern = functools.partial(_kernel, sm_scale=sm_scale, L=L,
+    kern = functools.partial(_kernel, sm_scale=sm_scale, chunk=chunk, L=L,
                              quantized=quantized, has_bias=has_bias,
                              has_lengths=has_lengths)
     return pl.pallas_call(
-        kern, grid=(b,),
+        kern, grid=(b, n_chunks),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, h, d), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((1, h, d), lambda i, j: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, h, d), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((h, 1), jnp.float32),
+            pltpu.VMEM((h, 1), jnp.float32),
+            pltpu.VMEM((h, d), jnp.float32),
+        ],
         interpret=interpret_mode(),
     )(*inputs)

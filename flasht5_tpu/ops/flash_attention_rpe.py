@@ -38,8 +38,17 @@ from flasht5_tpu.ops.flash_attention import (
     DEFAULT_BLOCK_N,
     _NEG_INF,
     _compiler_params,
+    _fwd_kernel as _fa_bias_fwd_kernel,
     _pad_to,
 )
+
+# Precomputed-offset-table fast path: with square tiles, a tile's bias
+# depends only on (j - i), so all distinct tile biases fit in an
+# O(S/Bk * H * Bk^2) = O(S) table — computed once in XLA (where gathers are
+# free) and streamed into the plain bias kernel. Falls back to the fully
+# in-kernel select-chain beyond this budget (very long sequences), where
+# memory, not speed, is the binding constraint.
+_TABLE_BUDGET_BYTES = 128 * 1024 * 1024
 from flasht5_tpu.runtime import interpret_mode
 
 _HEAD_LANES = 128  # lane width of the in-kernel weight / dweight tiles
@@ -155,6 +164,27 @@ def _prep_w(w):
     return w.astype(jnp.float32)
 
 
+def _table_bytes(n_i, n_j, heads, block):
+    return (n_i + n_j - 1) * heads * block * block * 4
+
+
+def _build_offset_table(w, n_i, n_j, block, *, bidirectional, num_buckets,
+                        max_distance):
+    """(n_off, H, Bk, Bk) fp32 bias tiles for every tile offset o = j - i."""
+    from flasht5_tpu.positional import relative_position_bucket
+
+    n_off = n_i + n_j - 1
+    o = jnp.arange(n_off)[:, None, None] - (n_i - 1)
+    m = jax.lax.broadcasted_iota(jnp.int32, (1, block, block), 1)
+    n = jax.lax.broadcasted_iota(jnp.int32, (1, block, block), 2)
+    rel = o * block + (n - m)
+    buckets = relative_position_bucket(
+        rel, bidirectional=bidirectional, num_buckets=num_buckets,
+        max_distance=max_distance)
+    table = jnp.take(w.astype(jnp.float32), buckets, axis=0)  # (n_off,Bk,Bk,H)
+    return jnp.transpose(table, (0, 3, 1, 2))
+
+
 def _fwd(q, k, v, w, causal, sm_scale, bidirectional, num_buckets,
          max_distance, block_m, block_n):
     batch, heads, m_len, d = q.shape
@@ -164,6 +194,52 @@ def _fwd(q, k, v, w, causal, sm_scale, bidirectional, num_buckets,
     vp = _pad_to(v, 2, block_n)
     mp, np_ = qp.shape[2], kp.shape[2]
     wp = _prep_w(w)
+
+    n_i, n_j = mp // block_m, np_ // block_n
+    use_table = (block_m == block_n and
+                 _table_bytes(n_i, n_j, heads, block_m) <= _TABLE_BUDGET_BYTES)
+    if use_table:
+        table = _build_offset_table(
+            w, n_i, n_j, block_m, bidirectional=bidirectional,
+            num_buckets=num_buckets, max_distance=max_distance)
+        kern = functools.partial(
+            _fa_bias_fwd_kernel, sm_scale=sm_scale, causal=causal,
+            m_len=m_len, n_len=n_len, block_m=block_m, block_n=block_n,
+            has_bias=True)
+        o, lse = pl.pallas_call(
+            kern,
+            grid=(batch, heads, n_i, n_j),
+            in_specs=[
+                pl.BlockSpec((1, 1, block_m, d), lambda b, h, i, j: (b, h, i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, block_n, d), lambda b, h, i, j: (b, h, j, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, block_n, d), lambda b, h, i, j: (b, h, j, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, block_m, block_n),
+                             lambda b, h, i, j: (j - i + n_i - 1, h, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, 1, block_m, d), lambda b, h, i, j: (b, h, i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, block_m, 1), lambda b, h, i, j: (b, h, i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct(qp.shape, q.dtype),
+                jax.ShapeDtypeStruct((batch, heads, mp, 1), jnp.float32),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((block_m, 1), jnp.float32),
+                pltpu.VMEM((block_m, 1), jnp.float32),
+                pltpu.VMEM((block_m, d), jnp.float32),
+            ],
+            compiler_params=_compiler_params(
+                ("parallel", "parallel", "parallel", "arbitrary")),
+            interpret=interpret_mode(),
+        )(qp, kp, vp, table)
+        return o[:, :, :m_len], lse[:, :, :m_len, 0]
 
     grid = (batch, heads, mp // block_m, np_ // block_n)
     kern = functools.partial(
@@ -208,10 +284,10 @@ def _fwd(q, k, v, w, causal, sm_scale, bidirectional, num_buckets,
 # Backward
 # ---------------------------------------------------------------------------
 
-def _bwd_dkv_kernel(q_ref, k_ref, v_ref, w_ref, lse_ref, delta_ref, do_ref,
-                    dk_ref, dv_ref, dw_ref, *,
+def _bwd_dkv_kernel(q_ref, k_ref, v_ref, w_ref, bias_ref, lse_ref, delta_ref,
+                    do_ref, dk_ref, dv_ref, dw_ref, *,
                     sm_scale, causal, bidirectional, num_buckets, max_distance,
-                    m_len, n_len, block_m, block_n):
+                    m_len, n_len, block_m, block_n, use_table):
     h = pl.program_id(1)
     j = pl.program_id(2)
     i = pl.program_id(3)
@@ -239,7 +315,10 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, w_ref, lse_ref, delta_ref, do_ref,
                               bidirectional=bidirectional,
                               num_buckets=num_buckets,
                               max_distance=max_distance)
-        s = s + _bias_from_buckets(bucket, w_ref, h, num_buckets)
+        if use_table:
+            s = s + bias_ref[0, 0]
+        else:
+            s = s + _bias_from_buckets(bucket, w_ref, h, num_buckets)
         rows = i * block_m + jax.lax.broadcasted_iota(jnp.int32, (block_m, block_n), 0)
         cols = j * block_n + jax.lax.broadcasted_iota(jnp.int32, (block_m, block_n), 1)
         mask = (cols < n_len) & (rows < m_len)
@@ -270,9 +349,10 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, w_ref, lse_ref, delta_ref, do_ref,
             dw_ref[0, bkt:bkt + 1, :] += jnp.where(lane == h, s_b, 0.0)
 
 
-def _bwd_dq_kernel(q_ref, k_ref, v_ref, w_ref, lse_ref, delta_ref, do_ref,
-                   dq_ref, *, sm_scale, causal, bidirectional, num_buckets,
-                   max_distance, m_len, n_len, block_m, block_n):
+def _bwd_dq_kernel(q_ref, k_ref, v_ref, w_ref, bias_ref, lse_ref, delta_ref,
+                   do_ref, dq_ref, *, sm_scale, causal, bidirectional,
+                   num_buckets, max_distance, m_len, n_len, block_m, block_n,
+                   use_table):
     h = pl.program_id(1)
     i = pl.program_id(2)
     j = pl.program_id(3)
@@ -291,11 +371,14 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, w_ref, lse_ref, delta_ref, do_ref,
         k = k_ref[0, 0]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) * sm_scale
-        bucket = _bucket_tile(i, j, block_m, block_n,
-                              bidirectional=bidirectional,
-                              num_buckets=num_buckets,
-                              max_distance=max_distance)
-        s = s + _bias_from_buckets(bucket, w_ref, h, num_buckets)
+        if use_table:
+            s = s + bias_ref[0, 0]
+        else:
+            bucket = _bucket_tile(i, j, block_m, block_n,
+                                  bidirectional=bidirectional,
+                                  num_buckets=num_buckets,
+                                  max_distance=max_distance)
+            s = s + _bias_from_buckets(bucket, w_ref, h, num_buckets)
         rows = i * block_m + jax.lax.broadcasted_iota(jnp.int32, (block_m, block_n), 0)
         cols = j * block_n + jax.lax.broadcasted_iota(jnp.int32, (block_m, block_n), 1)
         mask = (cols < n_len) & (rows < m_len)
@@ -330,9 +413,20 @@ def _bwd(q, k, v, w, causal, sm_scale, bidirectional, num_buckets,
     deltap = _pad_to(delta, 2, block_m)[..., None]
     lsep = _pad_to(lse, 2, block_m)[..., None]
 
+    n_i, n_j = mp // block_m, np_ // block_n
+    use_table = (block_m == block_n and
+                 _table_bytes(n_i, n_j, heads, block_m) <= _TABLE_BUDGET_BYTES)
+    if use_table:
+        table = _build_offset_table(
+            w, n_i, n_j, block_m, bidirectional=bidirectional,
+            num_buckets=num_buckets, max_distance=max_distance)
+    else:
+        table = jnp.zeros((1, 1, block_m, block_n), jnp.float32)
+
     common = dict(sm_scale=sm_scale, causal=causal, bidirectional=bidirectional,
                   num_buckets=num_buckets, max_distance=max_distance,
-                  m_len=m_len, n_len=n_len, block_m=block_m, block_n=block_n)
+                  m_len=m_len, n_len=n_len, block_m=block_m, block_n=block_n,
+                  use_table=use_table)
 
     def specs(order):
         # order: "kv" (b,h,j,i) or "q" (b,h,i,j)
@@ -340,15 +434,20 @@ def _bwd(q, k, v, w, causal, sm_scale, bidirectional, num_buckets,
             qi = lambda b, h, j, i: (b, h, i, 0)
             ki = lambda b, h, j, i: (b, h, j, 0)
             ri = lambda b, h, j, i: (b, h, i, 0)
+            bi = lambda b, h, j, i: (j - i + n_i - 1, h, 0, 0)
         else:
             qi = lambda b, h, i, j: (b, h, i, 0)
             ki = lambda b, h, i, j: (b, h, j, 0)
             ri = lambda b, h, i, j: (b, h, i, 0)
+            bi = lambda b, h, i, j: (j - i + n_i - 1, h, 0, 0)
+        if not use_table:
+            bi = (lambda b, h, x, y: (0, 0, 0, 0))
         return [
             pl.BlockSpec((1, 1, block_m, d), qi, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, block_n, d), ki, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, block_n, d), ki, memory_space=pltpu.VMEM),
             pl.BlockSpec(wp.shape, (lambda *a: (0, 0)), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, block_m, block_n), bi, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, block_m, 1), ri, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, block_m, 1), ri, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, block_m, d), qi, memory_space=pltpu.VMEM),
@@ -373,7 +472,7 @@ def _bwd(q, k, v, w, causal, sm_scale, bidirectional, num_buckets,
         ],
         compiler_params=_compiler_params(("parallel", "parallel", "parallel", "arbitrary")),
         interpret=interpret_mode(),
-    )(qp, kp, vp, wp, lsep, deltap, dop)
+    )(qp, kp, vp, wp, table, lsep, deltap, dop)
 
     dq = pl.pallas_call(
         functools.partial(_bwd_dq_kernel, **common),
@@ -385,7 +484,7 @@ def _bwd(q, k, v, w, causal, sm_scale, bidirectional, num_buckets,
         out_shape=jax.ShapeDtypeStruct(qp.shape, jnp.float32),
         compiler_params=_compiler_params(("parallel", "parallel", "parallel", "arbitrary")),
         interpret=interpret_mode(),
-    )(qp, kp, vp, wp, lsep, deltap, dop)
+    )(qp, kp, vp, wp, table, lsep, deltap, dop)
 
     nb, h_real = w.shape
     dw = jnp.sum(dw_all, axis=0)[:nb, :h_real].astype(w.dtype)

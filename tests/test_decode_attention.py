@@ -52,3 +52,15 @@ def test_int8_cache():
                                 sm_scale=0.25)
     np.testing.assert_allclose(np.asarray(out), np.asarray(full), atol=5e-2,
                                rtol=5e-2)
+
+
+def test_long_cache_chunked():
+    """Caches longer than one chunk stream with online softmax."""
+    q, k, v, bias, _ = _data(b=2, h=2, L=1200, d=32, seed=2)
+    lengths = jnp.array([1200, 700])
+    out = decode_attention(q, k, v, lengths=lengths, bias=bias,
+                           sm_scale=0.2, chunk=256)
+    ref = decode_attention_ref(q, k, v, lengths=lengths, bias=bias,
+                               sm_scale=0.2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-3,
+                               rtol=1e-2)

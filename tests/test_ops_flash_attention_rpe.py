@@ -110,3 +110,22 @@ def test_rpe_long_range_bucket_saturation():
                    nb=nb, maxd=maxd, scale=scale)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-3,
                                rtol=1e-2)
+
+
+def test_rpe_table_and_chain_paths_agree(monkeypatch):
+    """The precomputed-offset-table fast path and the fully in-kernel
+    select-chain path (used beyond the table budget) must agree."""
+    import flasht5_tpu.ops.flash_attention_rpe as rpe_mod
+
+    nb, maxd, scale = 32, 128, 0.25
+    q, k, v, w = _setup(1, 2, 256, 256, 32, nb, maxd, seed=5)
+
+    out_table = flash_attention_rpe(q, k, v, w, causal=True, sm_scale=scale,
+                                    bidirectional=False, num_buckets=nb,
+                                    max_distance=maxd)
+    monkeypatch.setattr(rpe_mod, "_TABLE_BUDGET_BYTES", 0)
+    out_chain = flash_attention_rpe(q, k, v, w, causal=True, sm_scale=scale,
+                                    bidirectional=False, num_buckets=nb,
+                                    max_distance=maxd)
+    np.testing.assert_allclose(np.asarray(out_table), np.asarray(out_chain),
+                               atol=2e-3, rtol=1e-2)

@@ -1,0 +1,171 @@
+"""Per-kernel speed-of-light report on the chip.
+
+North-star requirement: "every dequant+matmul and RPE-attention kernel at
+speed-of-light per chip". Measures each kernel with DIFFERENTIAL chained-loop
+timing: the kernel is iterated inside one jitted lax.scan (output feeds the
+next input, so nothing can be elided), timed at two different lengths, and
+the per-iteration time is the slope — which cancels dispatch/tunnel/transfer
+overhead exactly (this environment adds ~25ms per dispatch, which would
+otherwise swamp ms-scale kernels).
+
+    python tools/speed_of_light_tpu.py   # writes docs/perf_report.md
+"""
+
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import jax
+import jax.numpy as jnp
+
+from flasht5_tpu.utils.profiling import CHIP_SPECS
+
+N1, N2 = 5, 45
+ROWS = []
+
+
+def _sync(x):
+    leaf = jax.tree.leaves(x)[0]
+    return float(jnp.sum(leaf.astype(jnp.float32)))
+
+
+def chained_seconds(step_fn, x0, *ops):
+    """Per-iteration seconds via two-point chained-scan timing.
+
+    Large tensors the kernel reads must be passed via *ops (explicit jit
+    operands) — closure capture would inline them as constants and bloat the
+    MLIR module past what the compile service accepts."""
+
+    def make(n):
+        @jax.jit
+        def run(x, *ops):
+            def body(c, _):
+                return step_fn(c, *ops), None
+
+            out, _ = jax.lax.scan(body, x, None, length=n)
+            return out
+
+        return run
+
+    r1, r2 = make(N1), make(N2)
+    _sync(r1(x0, *ops))
+    _sync(r2(x0, *ops))  # compile + warm
+    t1s, t2s = [], []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _sync(r1(x0, *ops))
+        t1s.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        _sync(r2(x0, *ops))
+        t2s.append(time.perf_counter() - t0)
+    return (sorted(t2s)[1] - sorted(t1s)[1]) / (N2 - N1)
+
+
+def report(tag, seconds, flops, bytes_accessed, chip="v5e"):
+    spec = CHIP_SPECS[chip]
+    tflops = flops / seconds / 1e12
+    gbps = bytes_accessed / seconds / 1e9
+    bound_t = max(flops / spec["bf16_flops"], bytes_accessed / spec["hbm_gbps"])
+    bound = ("compute" if flops / spec["bf16_flops"] >
+             bytes_accessed / spec["hbm_gbps"] else "memory")
+    sol = bound_t / seconds
+    row = {"ms": round(seconds * 1e3, 3), "tflops": round(tflops, 1),
+           "gbps": round(gbps, 1), "bound": bound, "sol": round(sol, 3)}
+    ROWS.append((tag, row))
+    print(tag, row, flush=True)
+
+
+def main():
+    B, H, S, D = 16, 12, 1024, 64
+    bf = jnp.bfloat16
+    ks = jax.random.split(jax.random.PRNGKey(0), 4)
+    q = jax.random.normal(ks[0], (B, H, S, D), bf)
+    k = jax.random.normal(ks[1], (B, H, S, D), bf)
+    v = jax.random.normal(ks[2], (B, H, S, D), bf)
+    bias = jax.random.normal(ks[3], (1, H, S, S), bf)
+    wrpe = jax.random.normal(ks[3], (32, H), jnp.float32) * 0.5
+
+    attn_flops = 4.0 * B * H * S * S * D
+    attn_bytes = 4 * B * H * S * D * 2
+
+    from flasht5_tpu.ops.flash_attention import flash_attention
+    from flasht5_tpu.ops.flash_attention_rpe import flash_attention_rpe
+
+    sec = chained_seconds(
+        lambda qq, kk, vv: flash_attention_rpe(qq, kk, vv, wrpe, causal=False,
+                                               sm_scale=0.125,
+                                               bidirectional=True), q, k, v)
+    report("rpe_attention_fwd", sec, attn_flops, attn_bytes)
+
+    sec = chained_seconds(
+        lambda qq, kk, vv, bb: flash_attention(qq, kk, vv, bb, causal=False,
+                                               sm_scale=0.125), q, k, v, bias)
+    report("bias_attention_fwd", sec, attn_flops, attn_bytes + H * S * S * 2)
+
+    def rpe_grad(qq, kk, vv):
+        return jax.grad(lambda x: jnp.sum(flash_attention_rpe(
+            x, kk, vv, wrpe, causal=False, sm_scale=0.125,
+            bidirectional=True).astype(jnp.float32)))(qq).astype(bf)
+
+    sec = chained_seconds(rpe_grad, q, k, v)
+    report("rpe_attention_fwd_bwd", sec, attn_flops * 3.5, attn_bytes * 4)
+
+    from flasht5_tpu.ops.rmsnorm import rms_norm
+    rows, dmodel = 16384, 2048
+    x = jax.random.normal(ks[0], (rows, dmodel), bf)
+    w = jnp.ones((dmodel,), bf)
+    sec = chained_seconds(lambda xx: rms_norm(xx, w), x)
+    report("rmsnorm_fwd", sec, 4.0 * rows * dmodel,
+           2 * rows * dmodel * 2 + rows * 4)
+
+    from flasht5_tpu.ops.cross_entropy import cross_entropy_loss
+    V = 32768
+    logits = jax.random.normal(ks[1], (2048, V), jnp.float32)
+    labels = jax.random.randint(ks[2], (2048,), 0, V)
+
+    def ce_step(lg):
+        losses, _ = cross_entropy_loss(lg, labels, 1e-4, 0.0)
+        return lg + losses[:, None] * 1e-30  # keep the dependency live
+
+    sec = chained_seconds(ce_step, logits)
+    report("cross_entropy_fwd", sec, 3.0 * 2048 * V, 2048 * V * 4)
+
+    from flasht5_tpu.ops.quant import quant_matmul, quantize_int8
+    M = 2048
+    K = N = 4096
+    xq = jax.random.normal(ks[0], (M, K), bf)
+    wq = quantize_int8(jax.random.normal(ks[1], (K, N)) * 0.05)
+    sec = chained_seconds(lambda xx: quant_matmul(xx, wq), xq)
+    report("int8_dequant_matmul", sec, 2.0 * M * K * N,
+           M * K * 2 + K * N * 1 + M * N * 2)
+
+    from flasht5_tpu.ops.decode_attention import decode_attention
+    from flasht5_tpu.ops.quant import quantize_kv
+    slots, L = 8, 2048
+    qd = jax.random.normal(ks[0], (slots, H, D), jnp.float32)
+    kd, kds = quantize_kv(jax.random.normal(ks[1], (slots, H, L, D)))
+    vd, vds = quantize_kv(jax.random.normal(ks[2], (slots, H, L, D)))
+    lengths = jnp.full((slots,), L)
+    sec = chained_seconds(
+        lambda qq, a, b, c, d: decode_attention(
+            qq, a, b, k_scales=c, v_scales=d, lengths=lengths,
+            sm_scale=0.125, chunk=256), qd, kd, vd, kds, vds)
+    report("decode_attention_int8", sec, 4.0 * slots * H * L * D,
+           2 * slots * H * L * (D + 4))
+
+    with open("docs/perf_report.md", "w") as fh:
+        fh.write("# Kernel speed-of-light report (v5e-1)\n\n")
+        fh.write("Generated by tools/speed_of_light_tpu.py — differential\n"
+                 "chained-loop timing (dispatch overhead cancelled). `sol` =\n"
+                 "fraction of the binding roofline achieved.\n\n")
+        fh.write("| kernel | ms/call | TFLOPS | GB/s | bound | sol |\n")
+        fh.write("|---|---|---|---|---|---|\n")
+        for tag, d in ROWS:
+            fh.write(f"| {tag} | {d['ms']} | {d['tflops']} | {d['gbps']} | "
+                     f"{d['bound']} | {d['sol']} |\n")
+    print("wrote docs/perf_report.md", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -192,14 +192,25 @@ def _paged_kernel(pt_ref, len_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref,
 
 def paged_decode_attention(q, pool: PagedKVPool, *, sm_scale: float = 1.0,
                            bias: Optional[jnp.ndarray] = None):
-    """Ragged paged decode attention; semantics of the dense oracle.
+    """Ragged paged decode attention over a PagedKVPool (host object API)."""
+    return paged_decode_attention_arrays(
+        q, pool.pages_k, pool.pages_v, pool.scales_k, pool.scales_v,
+        pool.page_table, pool.lengths, sm_scale=sm_scale, bias=bias)
+
+
+def paged_decode_attention_arrays(q, pages_k, pages_v, scales_k, scales_v,
+                                  page_table, lengths, *,
+                                  sm_scale: float = 1.0,
+                                  bias: Optional[jnp.ndarray] = None):
+    """Functional form over raw arrays (jit/scan friendly — the engine passes
+    the pool state through its compiled step).
 
     q: (max_slots, H, D); bias: (max_slots, H, max_pages*page_size) or None.
     """
     b, h, d = q.shape
-    P = pool.page_size
-    maxp = pool.page_table.shape[1]
-    quantized = pool.quantized
+    P = pages_k.shape[2]
+    maxp = page_table.shape[1]
+    quantized = scales_k is not None
     has_bias = bias is not None
 
     dummy_s = jnp.zeros((1, 1, 1, 1), jnp.float32)
@@ -251,7 +262,7 @@ def paged_decode_attention(q, pool: PagedKVPool, *, sm_scale: float = 1.0,
             interpret=interpret_mode(),
         )(pt, lengths, q, pk, pv, sk, sv, bias_in)
 
-    return run(pool.page_table, pool.lengths, q, pool.pages_k, pool.pages_v,
-               pool.scales_k if quantized else dummy_s,
-               pool.scales_v if quantized else dummy_s,
+    return run(page_table, lengths, q, pages_k, pages_v,
+               scales_k if quantized else dummy_s,
+               scales_v if quantized else dummy_s,
                bias_in)

@@ -164,24 +164,34 @@ def _prep_w(w):
     return w.astype(jnp.float32)
 
 
-def _table_bytes(n_i, n_j, heads, block):
-    return (n_i + n_j - 1) * heads * block * block * 4
+def _offset_geometry(mp, np_, block_m, block_n):
+    """Token-offset lattice for tile (i, j): t_off = j*BN - i*BM takes
+    values on a gcd(BM, BN) stride; returns (gcd, t_min, n_off)."""
+    g = math.gcd(block_m, block_n)
+    t_min = -(mp - block_m)
+    t_max = np_ - block_n
+    return g, t_min, (t_max - t_min) // g + 1
 
 
-def _build_offset_table(w, n_i, n_j, block, *, bidirectional, num_buckets,
-                        max_distance):
-    """(n_off, H, Bk, Bk) fp32 bias tiles for every tile offset o = j - i."""
+def _table_bytes(mp, np_, heads, block_m, block_n):
+    _, _, n_off = _offset_geometry(mp, np_, block_m, block_n)
+    return n_off * heads * block_m * block_n * 4
+
+
+def _build_offset_table(w, mp, np_, block_m, block_n, *, bidirectional,
+                        num_buckets, max_distance):
+    """(n_off, H, BM, BN) fp32 bias tiles for every tile token-offset."""
     from flasht5_tpu.positional import relative_position_bucket
 
-    n_off = n_i + n_j - 1
-    o = jnp.arange(n_off)[:, None, None] - (n_i - 1)
-    m = jax.lax.broadcasted_iota(jnp.int32, (1, block, block), 1)
-    n = jax.lax.broadcasted_iota(jnp.int32, (1, block, block), 2)
-    rel = o * block + (n - m)
+    g, t_min, n_off = _offset_geometry(mp, np_, block_m, block_n)
+    t_off = (jnp.arange(n_off) * g + t_min)[:, None, None]
+    m = jax.lax.broadcasted_iota(jnp.int32, (1, block_m, block_n), 1)
+    n = jax.lax.broadcasted_iota(jnp.int32, (1, block_m, block_n), 2)
+    rel = t_off + (n - m)
     buckets = relative_position_bucket(
         rel, bidirectional=bidirectional, num_buckets=num_buckets,
         max_distance=max_distance)
-    table = jnp.take(w.astype(jnp.float32), buckets, axis=0)  # (n_off,Bk,Bk,H)
+    table = jnp.take(w.astype(jnp.float32), buckets, axis=0)  # (n_off,BM,BN,H)
     return jnp.transpose(table, (0, 3, 1, 2))
 
 
@@ -196,11 +206,12 @@ def _fwd(q, k, v, w, causal, sm_scale, bidirectional, num_buckets,
     wp = _prep_w(w)
 
     n_i, n_j = mp // block_m, np_ // block_n
-    use_table = (block_m == block_n and
-                 _table_bytes(n_i, n_j, heads, block_m) <= _TABLE_BUDGET_BYTES)
+    use_table = (_table_bytes(mp, np_, heads, block_m, block_n)
+                 <= _TABLE_BUDGET_BYTES)
     if use_table:
+        g_off, t_min, _ = _offset_geometry(mp, np_, block_m, block_n)
         table = _build_offset_table(
-            w, n_i, n_j, block_m, bidirectional=bidirectional,
+            w, mp, np_, block_m, block_n, bidirectional=bidirectional,
             num_buckets=num_buckets, max_distance=max_distance)
         kern = functools.partial(
             _fa_bias_fwd_kernel, sm_scale=sm_scale, causal=causal,
@@ -216,9 +227,11 @@ def _fwd(q, k, v, w, causal, sm_scale, bidirectional, num_buckets,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, 1, block_n, d), lambda b, h, i, j: (b, h, j, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, block_m, block_n),
-                             lambda b, h, i, j: (j - i + n_i - 1, h, 0, 0),
-                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(
+                    (1, 1, block_m, block_n),
+                    lambda b, h, i, j: (
+                        (j * block_n - i * block_m - t_min) // g_off, h, 0, 0),
+                    memory_space=pltpu.VMEM),
             ],
             out_specs=[
                 pl.BlockSpec((1, 1, block_m, d), lambda b, h, i, j: (b, h, i, 0),
@@ -414,13 +427,15 @@ def _bwd(q, k, v, w, causal, sm_scale, bidirectional, num_buckets,
     lsep = _pad_to(lse, 2, block_m)[..., None]
 
     n_i, n_j = mp // block_m, np_ // block_n
-    use_table = (block_m == block_n and
-                 _table_bytes(n_i, n_j, heads, block_m) <= _TABLE_BUDGET_BYTES)
+    use_table = (_table_bytes(mp, np_, heads, block_m, block_n)
+                 <= _TABLE_BUDGET_BYTES)
     if use_table:
+        g_off, t_min, _ = _offset_geometry(mp, np_, block_m, block_n)
         table = _build_offset_table(
-            w, n_i, n_j, block_m, bidirectional=bidirectional,
+            w, mp, np_, block_m, block_n, bidirectional=bidirectional,
             num_buckets=num_buckets, max_distance=max_distance)
     else:
+        g_off, t_min = 1, 0
         table = jnp.zeros((1, 1, block_m, block_n), jnp.float32)
 
     common = dict(sm_scale=sm_scale, causal=causal, bidirectional=bidirectional,
@@ -434,12 +449,14 @@ def _bwd(q, k, v, w, causal, sm_scale, bidirectional, num_buckets,
             qi = lambda b, h, j, i: (b, h, i, 0)
             ki = lambda b, h, j, i: (b, h, j, 0)
             ri = lambda b, h, j, i: (b, h, i, 0)
-            bi = lambda b, h, j, i: (j - i + n_i - 1, h, 0, 0)
+            bi = lambda b, h, j, i: (
+                (j * block_n - i * block_m - t_min) // g_off, h, 0, 0)
         else:
             qi = lambda b, h, i, j: (b, h, i, 0)
             ki = lambda b, h, i, j: (b, h, j, 0)
             ri = lambda b, h, i, j: (b, h, i, 0)
-            bi = lambda b, h, i, j: (j - i + n_i - 1, h, 0, 0)
+            bi = lambda b, h, i, j: (
+                (j * block_n - i * block_m - t_min) // g_off, h, 0, 0)
         if not use_table:
             bi = (lambda b, h, x, y: (0, 0, 0, 0))
         return [

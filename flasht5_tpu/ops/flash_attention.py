@@ -41,6 +41,16 @@ from flasht5_tpu.runtime import interpret_mode
 # k-tile (fewer online-softmax rescale rounds, deeper DMA overlap).
 DEFAULT_BLOCK_M = 256
 DEFAULT_BLOCK_N = 1024
+def _round16(x: int) -> int:
+    return ((x + 15) // 16) * 16
+
+
+def _bwd_blocks(block_m, block_n, m_len, n_len):
+    # Isolated-kernel sweeps preferred a larger bwd q-tile (512,1024: 65 vs
+    # 59 TFLOPS), but the FULL train step measured consistently slower with
+    # it (124.3k vs 127.1k tok/s — likely the causal decoder tiles), so bwd
+    # reuses the forward tiles.
+    return min(block_m, _round16(m_len)), min(block_n, _round16(n_len))
 _NEG_INF = -1e30
 
 
@@ -439,8 +449,9 @@ def _fab_fwd(q, k, v, bias, causal, sm_scale, block_m, block_n):
 
 def _fab_bwd(causal, sm_scale, block_m, block_n, res, do):
     q, k, v, bias, lse, o = res
-    dq, dk, dv, dbias = _bwd(q, k, v, bias, causal, sm_scale, block_m,
-                             block_n, lse, o, do, want_dbias=True)
+    bm, bn = _bwd_blocks(block_m, block_n, q.shape[2], k.shape[2])
+    dq, dk, dv, dbias = _bwd(q, k, v, bias, causal, sm_scale, bm,
+                             bn, lse, o, do, want_dbias=True)
     return dq, dk, dv, dbias
 
 
@@ -460,7 +471,8 @@ def _fan_fwd(q, k, v, causal, sm_scale, block_m, block_n):
 
 def _fan_bwd(causal, sm_scale, block_m, block_n, res, do):
     q, k, v, lse, o = res
-    dq, dk, dv, _ = _bwd(q, k, v, None, causal, sm_scale, block_m, block_n,
+    bm, bn = _bwd_blocks(block_m, block_n, q.shape[2], k.shape[2])
+    dq, dk, dv, _ = _bwd(q, k, v, None, causal, sm_scale, bm, bn,
                          lse, o, do, want_dbias=False)
     return dq, dk, dv
 

@@ -37,6 +37,7 @@ from flasht5_tpu.ops.flash_attention import (
     DEFAULT_BLOCK_M,
     DEFAULT_BLOCK_N,
     _NEG_INF,
+    _bwd_blocks,
     _compiler_params,
     _fwd_kernel as _fa_bias_fwd_kernel,
     _pad_to,
@@ -533,8 +534,9 @@ def _far_fwd(q, k, v, w, causal, sm_scale, bidirectional, num_buckets,
 def _far_bwd(causal, sm_scale, bidirectional, num_buckets, max_distance,
              block_m, block_n, res, do):
     q, k, v, w, lse, o = res
+    bm, bn = _bwd_blocks(block_m, block_n, q.shape[2], k.shape[2])
     return _bwd(q, k, v, w, causal, sm_scale, bidirectional, num_buckets,
-                max_distance, block_m, block_n, lse, o, do)
+                max_distance, bm, bn, lse, o, do)
 
 
 _far.defvjp(_far_fwd, _far_bwd)

@@ -55,12 +55,14 @@ def init_decode_state(config: FlashT5Config, params: Dict,
                       encoder_mask: Optional[jnp.ndarray] = None) -> DecodeState:
     """Allocate self caches and precompute cross K/V from the encoder output."""
     b = encoder_hidden_states.shape[0]
-    h, dkv = config.num_heads, config.d_kv
+    dkv = config.d_kv
     dt = encoder_hidden_states.dtype
     n_enc = encoder_hidden_states.shape[1]
     layers = []
     for blk in params["decoder"]["block"]:
         ca = blk["cross_attention_layer"]["cross_attention"]
+        # local head count from the (possibly tensor-sharded) projection
+        h = ca["Wk"].shape[1] // dkv
         ck = _proj_heads(encoder_hidden_states, ca["Wk"], h, dkv)
         cv = _proj_heads(encoder_hidden_states, ca["Wv"], h, dkv)
         if config.position_encoding_type == "RoPE":
@@ -108,7 +110,7 @@ def decode_step(config: FlashT5Config, params: Dict, state: DecodeState,
     tests/test_inference.py against the no-cache forward.
     """
     b = token.shape[0]
-    h, dkv = config.num_heads, config.d_kv
+    dkv = config.d_kv
     t = state.t
     max_len = state.layers[0].self_k.shape[2]
     emb = params["shared"]["embedding"]
@@ -124,6 +126,7 @@ def decode_step(config: FlashT5Config, params: Dict, state: DecodeState,
 
         # ---- self attention ----
         sa = blk["self_attention_layer"]["self_attention"]
+        h = sa["Wq"].shape[1] // dkv  # local heads under tensor sharding
         normed = t5._layer_norm(config,
                                 blk["self_attention_layer"]["layer_norm"]["weight"], x)
         q = _proj_heads(normed, sa["Wq"], h, dkv)
@@ -173,7 +176,10 @@ def decode_step(config: FlashT5Config, params: Dict, state: DecodeState,
         attn = _single_query_attention(q, self_k, self_v, self_bias,
                                        config.softmax_scale, valid)
         attn = jnp.transpose(attn, (0, 2, 1, 3)).reshape(b, 1, h * dkv)
-        x = x + t5._matmul(attn, sa["o"])
+        o_proj = t5._matmul(attn, sa["o"])
+        if config.tp_axis is not None:
+            o_proj = jax.lax.psum(o_proj, config.tp_axis)
+        x = x + o_proj
 
         # ---- cross attention ----
         ca = blk["cross_attention_layer"]["cross_attention"]
@@ -196,7 +202,10 @@ def decode_step(config: FlashT5Config, params: Dict, state: DecodeState,
         attn = _single_query_attention(qc, cache.cross_k, cache.cross_v, None,
                                        config.softmax_scale, None)
         attn = jnp.transpose(attn, (0, 2, 1, 3)).reshape(b, 1, h * dkv)
-        x = x + t5._matmul(attn, ca["o"])
+        o_proj = t5._matmul(attn, ca["o"])
+        if config.tp_axis is not None:
+            o_proj = jax.lax.psum(o_proj, config.tp_axis)
+        x = x + o_proj
 
         # ---- mlp ----
         x = t5._ff(config, blk["ff_layer"], x, rng=None, deterministic=True)

@@ -114,3 +114,85 @@ def test_tp_with_label_smoothing_and_ignore():
     _, _, metrics = step(params, opt_state, batch, None)
     np.testing.assert_allclose(float(metrics["loss"]), ref_loss,
                                rtol=2e-5, atol=2e-5)
+
+
+def test_tp_with_pallas_kernels():
+    """Pallas kernels run per-shard under shard_map (local head counts);
+    loss must match the single-device pallas run."""
+    config = tiny_config(attention_type="pallas", use_fused_layernorm=True,
+                         d_kv=16, num_heads=4)
+    mesh = make_mesh(2, 4)
+    tx = adamw_scale(1e-3, mask=no_decay_mask)
+    params, opt_state = tp_train_state(config, mesh, tx)
+    step = make_tp_train_step(config, mesh, tx)
+    batch, ids, lbl = _batch(mesh, seed=3)
+
+    sp = t5.init_params(jax.random.PRNGKey(0), config)
+    ref_loss = float(t5.forward(config, sp, input_ids=ids, labels=lbl)["loss"])
+    _, _, metrics = step(params, opt_state, batch, None)
+    np.testing.assert_allclose(float(metrics["loss"]), ref_loss,
+                               rtol=5e-4, atol=5e-4)
+
+
+def test_tp_with_pallas_rpe_kernel():
+    """The RPE kernel's head-sharded weight slice composes with TP."""
+    config = tiny_config(attention_type="pallas_rpe", num_heads=4, d_kv=16)
+    mesh = make_mesh(2, 4)
+    tx = adamw_scale(1e-3, mask=no_decay_mask)
+    params, opt_state = tp_train_state(config, mesh, tx)
+    step = make_tp_train_step(config, mesh, tx)
+    batch, ids, lbl = _batch(mesh, seed=4)
+
+    sp = t5.init_params(jax.random.PRNGKey(0), config)
+    ref_loss = float(t5.forward(config, sp, input_ids=ids, labels=lbl)["loss"])
+    _, _, metrics = step(params, opt_state, batch, None)
+    np.testing.assert_allclose(float(metrics["loss"]), ref_loss,
+                               rtol=5e-4, atol=5e-4)
+
+
+def test_tensor_sharded_kv_decode():
+    """North-star serving shape: weights AND KV caches head-sharded over the
+    tensor axis; step logits (vocab-sharded lm_head gathered by shard_map)
+    must match unsharded decode."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from flasht5_tpu.inference import kv_cache
+    from flasht5_tpu.parallel.sharding import param_pspecs, param_shardings
+
+    config = tiny_config()
+    tp_config = config.replace(tp_axis="tensor")
+    mesh = make_mesh(1, 4)  # 4 heads -> at most 4-way head sharding
+    sp = t5.init_params(jax.random.PRNGKey(0), config)
+    pspecs = param_pspecs(sp)
+    params = jax.device_put(sp, param_shardings(mesh, sp))
+
+    ids = jax.random.randint(jax.random.PRNGKey(1), (2, 12), 2, 256)
+    dec_in = jax.random.randint(jax.random.PRNGKey(2), (2, 5), 0, 256)
+
+    def sharded_decode(p, ids, dec_in):
+        enc = t5.encode(tp_config, p, ids)
+        state = kv_cache.init_decode_state(tp_config, p, enc, 5)
+        outs = []
+        for i in range(5):
+            logits, state = kv_cache.decode_step(tp_config, p, state,
+                                                 dec_in[:, i])
+            outs.append(logits)
+        return jnp.stack(outs, axis=1)   # (B, 5, V_local)
+
+    logits_tp = jax.jit(shard_map(
+        sharded_decode, mesh=mesh,
+        in_specs=(pspecs, P(), P()),
+        out_specs=P(None, None, "tensor"),   # gather vocab shards
+        check_vma=False))(params, ids, dec_in)
+
+    # unsharded oracle
+    enc = t5.encode(config, sp, ids)
+    state = kv_cache.init_decode_state(config, sp, enc, 5)
+    outs = []
+    for i in range(5):
+        logits, state = kv_cache.decode_step(config, sp, state, dec_in[:, i])
+        outs.append(logits)
+    ref = jnp.stack(outs, axis=1)
+    np.testing.assert_allclose(np.asarray(logits_tp), np.asarray(ref),
+                               atol=1e-4, rtol=1e-4)

@@ -9,17 +9,33 @@ Token accounting matches the reference's published number (total processed
 tokens per wall-clock second for the full fwd+bwd+optimizer step; encoder and
 decoder tokens both count, as in the UL2 training mix where inputs are 1024
 and targets are bounded by max_labels_length).
+
+Cold-start design (round-1 bench timed out under the driver, rc=124):
+- persistent JAX compilation cache in <repo>/.jax_cache — the repo's own
+  verification runs pre-warm it, so the driver's run hits compiled programs;
+- exactly TWO compiled programs (fused init, train step) instead of three;
+- the JSON line is printed the moment a valid measurement exists.
 """
 
 import json
+import os
+import sys
 import time
 
-import jax
-import jax.numpy as jnp
-import optax
+_REPO = os.path.dirname(os.path.abspath(__file__))
+
+import jax  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir", os.path.join(_REPO, ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+import jax.numpy as jnp  # noqa: E402
+import optax  # noqa: E402
 
 
 def main():
+    sys.path.insert(0, _REPO)
     from __graft_entry__ import _flagship_config
     from flasht5_tpu.models import t5
     from flasht5_tpu.optim import adamw_scale, no_decay_mask
@@ -28,12 +44,17 @@ def main():
     on_tpu = jax.default_backend() == "tpu"
     batch, enc_len, dec_len = (8, 1024, 256) if on_tpu else (2, 128, 64)
 
-    rng = jax.random.PRNGKey(0)
-    # jit the init: eager init is hundreds of tiny dispatches (slow over the
-    # remote tunnel); one compiled program instead.
-    params = jax.jit(lambda r: t5.init_params(r, config))(rng)
     tx = adamw_scale(1e-3, weight_decay=0.0, mask=no_decay_mask)
-    opt_state = jax.jit(tx.init)(params)
+
+    # ONE compiled init program: params + optimizer state together (eager
+    # init is hundreds of tiny dispatches; two separate jits were two slow
+    # remote compiles in round 1).
+    @jax.jit
+    def init(rng):
+        params = t5.init_params(rng, config)
+        return params, tx.init(params)
+
+    params, opt_state = init(jax.random.PRNGKey(0))
 
     input_ids = jax.random.randint(jax.random.PRNGKey(1), (batch, enc_len), 0,
                                    config.vocab_size, dtype=jnp.int32)
@@ -72,7 +93,7 @@ def main():
         "value": round(tps, 1),
         "unit": "tokens/s/chip",
         "vs_baseline": round(tps / 79700.0, 4),
-    }))
+    }), flush=True)
 
 
 if __name__ == "__main__":

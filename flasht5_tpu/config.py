@@ -155,6 +155,10 @@ class FlashT5Config:
         return cls(**d)
 
     @classmethod
+    def from_json(cls, text: str) -> "FlashT5Config":
+        return cls.from_dict(json.loads(text))
+
+    @classmethod
     def from_yaml(cls, path: str) -> "FlashT5Config":
         with open(path) as f:
             cfg = yaml.safe_load(f)

@@ -117,7 +117,7 @@ class DataCollatorForUL2:
                  causal: bool = False, random_chunk: bool = True,
                  fixed_batch_size: bool = False, min_size_inputs: int = 10,
                  extra_ids: Optional[Sequence[int]] = None,
-                 seed: Optional[int] = None):
+                 seed: Optional[int] = None, use_native: bool = True):
         props = np.asarray(denoiser_proportions, np.float64)
         self.denoiser_proportions = (props / props.sum()).tolist()
         self.denoisers = [
@@ -151,6 +151,7 @@ class DataCollatorForUL2:
         self.random_chunk = random_chunk
         self.fixed_batch_size = fixed_batch_size
         self.min_size_inputs = min_size_inputs
+        self.use_native = use_native
 
         max_prefix = max(len(p) for p in self.prefixes)
         self.denoiser_optimal_len = [
@@ -189,6 +190,19 @@ class DataCollatorForUL2:
         if with_eos:
             ids = np.concatenate([ids, [np.int32(self.tokenizer.eos_token_id)]])
         return ids.reshape(1, -1)
+
+    def _noise_mask(self, length: int, denoiser: Denoiser) -> np.ndarray:
+        """Span noise mask; dispatches to the native C++ core (seeded from
+        this collator's Generator so streams stay reproducible), numpy
+        fallback otherwise."""
+        if self.use_native and length > 1:
+            from flasht5_tpu.native import native_noise_mask
+            seed = int(self.rng.integers(0, 2 ** 63 - 1))
+            mask = native_noise_mask(length, denoiser.mu, denoiser.r,
+                                     denoiser.max_spans, seed)
+            if mask is not None:
+                return mask
+        return random_spans_noise_mask(length, denoiser, self.rng)
 
     # -- packing -----------------------------------------------------------
 
@@ -262,7 +276,7 @@ class DataCollatorForUL2:
             else:
                 truncated.append(x["input_ids"])
 
-        masks = [random_spans_noise_mask(t.shape[1], self.denoisers[choice[i]], self.rng)
+        masks = [self._noise_mask(t.shape[1], self.denoisers[choice[i]])
                  for i, t in enumerate(truncated)]
         in_sentinels = [self.create_sentinel_ids(m) for m in masks]
         lb_sentinels = [self.create_sentinel_ids(~m) for m in masks]

@@ -288,9 +288,22 @@ def _attention(
         # RoPE applies in every layer (reference quirk: the rotary encoder is
         # constructed regardless of has_positional_encoding, modeling:214).
         rotary_dim = int(dkv * config.rotary_emb_fraction)
+        randomize = (config.use_randomized_position_encoding
+                     and not deterministic and rng is not None)
+        table_len = config.max_sequence_length if randomize else max(m, n)
         cos, sin, cos_k, sin_k = positional.rope_cos_sin(
-            max(m, n), rotary_dim, base=config.rotary_base,
+            table_len, rotary_dim, base=config.rotary_base,
             scale_base=config.rotary_scale_base, dtype=jnp.float32)
+        if randomize:
+            # one shared sorted random position vector for q and k so that
+            # self-attention (m == n) keeps exact relative distances; the
+            # reference threads this flag into RoPE but never consumes it
+            # (modeling:218-220) — see positional.gather_rope_tables.
+            rng, pos_rng = jax.random.split(rng)
+            pos = positional._randomized_positions(
+                pos_rng, max(m, n), config.max_sequence_length)
+            cos, sin, cos_k, sin_k = positional.gather_rope_tables(
+                (cos, sin, cos_k, sin_k), pos)
         q = positional.apply_rotary(q, cos[:m], sin[:m],
                                     interleaved=config.rotary_interleaved)
         ck = cos if cos_k is None else cos_k

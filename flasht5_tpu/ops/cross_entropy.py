@@ -110,7 +110,8 @@ def _fwd_kernel(logits_ref, labels_ref, loss_ref, lse_ref, zloss_ref, *,
     zloss_ref[...] = jnp.where(ignored, 0.0, z)[:, None]
 
 
-def _bwd_kernel(logits_ref, labels_ref, lse_ref, dloss_ref, dlogits_ref, *,
+def _bwd_kernel(logits_ref, labels_ref, lse_ref, dloss_ref, dz_ref,
+                dlogits_ref, *,
                 n_cols: int, total_classes: int, class_start_idx: int,
                 smoothing: float, logit_scale: float, lse_square_scale: float,
                 ignore_index: int):
@@ -121,17 +122,22 @@ def _bwd_kernel(logits_ref, labels_ref, lse_ref, dloss_ref, dlogits_ref, *,
 
     labels = labels_ref[...][:, 0]
     lse = lse_ref[...][:, 0]
-    dloss = jnp.where(labels == ignore_index, 0.0, dloss_ref[...][:, 0])
+    ignored = labels == ignore_index
+    dloss = jnp.where(ignored, 0.0, dloss_ref[...][:, 0])
+    dz = jnp.where(ignored, 0.0, dz_ref[...][:, 0])
 
     probs = jnp.exp(logits - lse[:, None])
-    probs = probs * (1.0 + 2.0 * lse_square_scale * lse)[:, None]
     local_label = labels - class_start_idx
     onehot = (col_ids == local_label[:, None]) & valid
     if smoothing > 0.0:
-        grad = probs - smoothing / total_classes - jnp.where(onehot, 1.0 - smoothing, 0.0)
+        ce_grad = probs - smoothing / total_classes - jnp.where(onehot, 1.0 - smoothing, 0.0)
     else:
-        grad = probs - jnp.where(onehot, 1.0, 0.0)
-    grad = jnp.where(valid, grad * (dloss * logit_scale)[:, None], 0.0)
+        ce_grad = probs - jnp.where(onehot, 1.0, 0.0)
+    # loss = ce + z and z = s*lse^2 are both outputs; dz/dlogits = 2s*lse*probs
+    # flows from BOTH cotangents (loss includes z), ce only from dloss.
+    z_grad = (2.0 * lse_square_scale * lse)[:, None] * probs
+    grad = dloss[:, None] * ce_grad + (dloss + dz)[:, None] * z_grad
+    grad = jnp.where(valid, grad * logit_scale, 0.0)
     dlogits_ref[...] = grad.astype(dlogits_ref.dtype)
 
 
@@ -223,17 +229,19 @@ def _ce_fwd(logits, labels, lse_square_scale, label_smoothing, logit_scale,
 def _ce_bwd(lse_square_scale, label_smoothing, logit_scale, ignore_index,
             total_classes, class_start_idx, split, res, grads):
     logits, labels, lse = res
-    dloss = grads[0]  # cotangent for per-row loss; z_loss output cotangent ignored
+    dloss, dz = grads  # cotangents for (per-row loss, z_loss)
     rows, v = logits.shape
     br = _row_block(v)
     plogits, plabels, rows = _pad_inputs(logits, labels, br, ignore_index)
     pad = plogits.shape[0] - rows
     plse = jnp.pad(lse, ((0, pad),)) if pad else lse
     pdloss = jnp.pad(dloss, ((0, pad),)) if pad else dloss
+    pdz = jnp.pad(dz, ((0, pad),)) if pad else dz
     spec = pl.BlockSpec((br, v), lambda i: (i, 0), memory_space=pltpu.VMEM)
     dlogits = _ce_call(
         plogits, plabels, kernel=_bwd_kernel,
-        extra_inputs=(plse.reshape(-1, 1), pdloss.reshape(-1, 1)),
+        extra_inputs=(plse.reshape(-1, 1), pdloss.reshape(-1, 1),
+                      pdz.reshape(-1, 1)),
         out_shapes=[(spec, jax.ShapeDtypeStruct(plogits.shape, logits.dtype))],
         lse_square_scale=lse_square_scale, label_smoothing=label_smoothing,
         logit_scale=logit_scale, ignore_index=ignore_index,

@@ -98,10 +98,12 @@ def _qmm_kernel(x_ref, q_ref, s_ref, o_ref, acc_scr, *, n_k: int):
 def quant_matmul(x: jnp.ndarray, qt: QuantizedTensor,
                  *, block_m: int = 256, block_n: int = 512,
                  block_k: int = 512) -> jnp.ndarray:
-    """Fused int8 dequant + matmul. x: (..., K); qt: (K, N) -> (..., N).
+    """Fused dequant + matmul for INT8 or FP8-e4m3 storage.
 
-    Scales are applied to the fp32 accumulator at the end (exact for
-    per-output-channel scaling), so the MXU runs pure bf16.
+    x: (..., K); qt: (K, N) -> (..., N). The weight tile is upcast to bf16 on
+    the VPU regardless of storage dtype (v5e has no fp8 MXU; the win is HBM
+    bytes, not MXU rate), and scales are applied to the fp32 accumulator at
+    the end (exact for per-output-channel scaling), so the MXU runs pure bf16.
     """
     orig_shape = x.shape
     k_dim = orig_shape[-1]
@@ -112,8 +114,9 @@ def quant_matmul(x: jnp.ndarray, qt: QuantizedTensor,
     bm = min(block_m, max(8, ((m_dim + 7) // 8) * 8))
     bn = min(block_n, n_dim)
     bk = min(block_k, k_dim)
-    if n_dim % bn or k_dim % bk or qt.qvalues.dtype != jnp.int8:
-        # awkward shapes or fp8 storage: XLA path (still fuses the dequant)
+    if n_dim % bn or k_dim % bk or qt.qvalues.dtype not in (
+            jnp.int8, jnp.float8_e4m3fn):
+        # awkward shapes or exotic storage: XLA path (still fuses the dequant)
         return quant_matmul_ref(x, qt)
 
     pad_m = (-m_dim) % bm

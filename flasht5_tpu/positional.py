@@ -210,6 +210,21 @@ def rope_cos_sin(
             (cos / scale).astype(dtype), (sin / scale).astype(dtype))
 
 
+def gather_rope_tables(tables, positions: jnp.ndarray):
+    """Index (cos, sin, cos_k, sin_k) tables at explicit integer positions.
+
+    Used for randomized-position RoPE training: the tables span
+    `max_sequence_length` rows and `positions` is a sorted random subsample
+    (the reference *threads* `randomized_position` into its rotary encoder —
+    modeling_flash_t5.py:218-220, positional_encoding.py:212-217 — but its
+    forward never consumes the flag; this implements the intended semantics,
+    mirroring what the bias PEs do at positional_encoding.py:78-87).
+    Also used for KV-cache decode where the query sits at absolute step t.
+    """
+    return tuple(None if t is None else jnp.take(t, positions, axis=0)
+                 for t in tables)
+
+
 def apply_rotary(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray,
                  *, interleaved: bool = False) -> jnp.ndarray:
     """Rotate the leading `2*cos.shape[-1]` features of x.

@@ -65,9 +65,13 @@ def masked_accuracy(logits: np.ndarray, labels: np.ndarray) -> float:
 
 class Trainer:
     def __init__(self, config: FlashT5Config, tcfg: TrainerConfig,
-                 params: Optional[Any] = None):
+                 params: Optional[Any] = None, callbacks: Optional[list] = None):
         self.config = config
         self.tcfg = tcfg
+        # tracker/energy integration point (reference: ClearML + codecarbon in
+        # train_flash_t5.py:7-9,96, wandb in train_fat5_minipile.py:8,89);
+        # see flasht5_tpu.train.callbacks
+        self.callbacks = list(callbacks or [])
         self.mesh = make_mesh(tcfg.data_parallel, tcfg.tensor_parallel)
 
         if tcfg.lr_scheduler == "cosine":
@@ -199,6 +203,10 @@ class Trainer:
 
         return log
 
+    def _dispatch(self, hook: str, *args) -> None:
+        for cb in self.callbacks:
+            getattr(cb, hook)(self, *args)
+
     def train(self, train_iter: Iterable[Dict], eval_iter=None,
               log_fn: Callable[[Dict], None] = None) -> Dict:
         rng = jax.random.PRNGKey(self.tcfg.seed + 1)
@@ -206,6 +214,7 @@ class Trainer:
         tokens_seen = 0
         t_start = time.perf_counter()
         jsonl = self._jsonl_logger() if self.tcfg.save_steps else None
+        self._dispatch("on_train_begin")
         try:
           with self.mesh:
             for batch in train_iter:
@@ -226,6 +235,7 @@ class Trainer:
                              "loss": float(metrics["loss"]),
                              "grad_norm": float(metrics["grad_norm"]),
                              "tokens_per_sec": tokens_seen / max(dt, 1e-9)}
+                    self._dispatch("on_log", entry)
                     logs.append(entry)
                     if log_fn:
                         log_fn(entry)
@@ -234,12 +244,14 @@ class Trainer:
 
                 if (self.tcfg.eval_steps and eval_iter is not None
                         and self.step_num % self.tcfg.eval_steps == 0):
-                    logs.append({"step": self.step_num,
-                                 **self.evaluate(eval_iter)})
+                    ev = {"step": self.step_num, **self.evaluate(eval_iter)}
+                    self._dispatch("on_eval", ev)
+                    logs.append(ev)
 
                 if self.tcfg.save_steps and \
                         self.step_num % self.tcfg.save_steps == 0:
-                    self.save_checkpoint(self.step_num)
+                    self._dispatch("on_save",
+                                   self.save_checkpoint(self.step_num))
         except KeyboardInterrupt:
             # crash/preemption safety: persist the latest state before
             # propagating (the failure-recovery story the reference lacks —
@@ -247,7 +259,9 @@ class Trainer:
             if self.tcfg.save_steps:
                 self.save_checkpoint(self.step_num)
             raise
-        return {"final_step": self.step_num, "logs": logs}
+        result = {"final_step": self.step_num, "logs": logs}
+        self._dispatch("on_train_end", result)
+        return result
 
     def evaluate(self, eval_iter: Iterable[Dict]) -> Dict:
         losses, accs = [], []

@@ -239,3 +239,26 @@ def test_use_masking_changes_output():
                        labels=lbl)
     np.testing.assert_allclose(np.asarray(out_f["logits"]),
                                np.asarray(out_u["logits"]), atol=1e-5)
+
+
+def test_randomized_positions_rope_train_path():
+    """Randomized-position RoPE (the reference threads the flag into its
+    rotary encoder, modeling:218-220, but never consumes it; here it gathers
+    cos/sin at sorted random positions). Train path must differ from the
+    deterministic path and stay finite."""
+    config = tiny_config(use_randomized_position_encoding=True,
+                         position_encoding_type="RoPE")
+    params = t5.init_params(jax.random.PRNGKey(0), config)
+    input_ids, labels = _batch(config)
+    out = t5.forward(config, params, input_ids=input_ids, labels=labels,
+                     rng=jax.random.PRNGKey(1), deterministic=False)
+    assert np.isfinite(float(out["loss"]))
+    det = t5.forward(config, params, input_ids=input_ids, labels=labels)
+    assert np.isfinite(float(det["loss"]))
+    # randomized positions actually change the logits
+    assert not np.allclose(np.asarray(out["logits"]),
+                           np.asarray(det["logits"]), atol=1e-6)
+    # inference path ignores randomization (deterministic=True)
+    det2 = t5.forward(config, params, input_ids=input_ids, labels=labels)
+    np.testing.assert_allclose(np.asarray(det["logits"]),
+                               np.asarray(det2["logits"]))

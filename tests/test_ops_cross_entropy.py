@@ -66,3 +66,32 @@ def test_ce_bf16_logits():
     loss, _ = cross_entropy_loss(lb, labels)
     ref, _ = cross_entropy_loss_ref(lb, labels)
     np.testing.assert_allclose(np.asarray(loss), np.asarray(ref), atol=5e-2, rtol=1e-2)
+
+
+def test_ce_both_output_cotangents():
+    """Differentiating a function of BOTH outputs must propagate the z_loss
+    cotangent (round-1 defect: dz was silently dropped)."""
+    logits, labels = _data(16, 512)
+    z_scale = 1e-2
+
+    def f_fused(lg):
+        loss, z = cross_entropy_loss(lg, labels, z_scale)
+        return jnp.mean(loss) + 3.0 * jnp.mean(z)
+
+    def f_ref(lg):
+        loss, z = cross_entropy_loss_ref(lg, labels, lse_square_scale=z_scale)
+        return jnp.mean(loss) + 3.0 * jnp.mean(z)
+
+    g = jax.grad(f_fused)(logits)
+    r = jax.grad(f_ref)(logits)
+    assert not np.allclose(np.asarray(g), 0.0)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(r), atol=1e-5, rtol=1e-3)
+
+
+def test_ce_z_only_cotangent():
+    logits, labels = _data(8, 256)
+    z_scale = 1e-2
+    g = jax.grad(lambda lg: jnp.sum(cross_entropy_loss(lg, labels, z_scale)[1]))(logits)
+    r = jax.grad(lambda lg: jnp.sum(
+        cross_entropy_loss_ref(lg, labels, lse_square_scale=z_scale)[1]))(logits)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(r), atol=1e-5, rtol=1e-3)

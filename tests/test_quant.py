@@ -111,9 +111,27 @@ def test_fp8_quantization():
     err = np.abs(np.asarray(dequantize(qt)) - np.asarray(w))
     # e4m3 relative error ~2^-3 of each value's magnitude
     assert err.max() < float(np.abs(np.asarray(w)).max()) * 0.08
+    # fp8 storage now goes THROUGH the Pallas kernel (bf16 MXU) — compare
+    # with the kernel-path tolerance, same as the int8 kernel test
     out = quant_matmul(jax.random.normal(jax.random.PRNGKey(1), (16, 256)), qt)
     ref = quant_matmul_ref(jax.random.normal(jax.random.PRNGKey(1), (16, 256)), qt)
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-2,
+                               rtol=1e-2)
+
+
+@pytest.mark.parametrize("m,k,n", [(64, 512, 512), (37, 512, 1024)])
+def test_quant_matmul_kernel_fp8(m, k, n):
+    """FP8-e4m3 storage through the fused Pallas kernel (round-1 gap: fp8
+    always fell back to the XLA path, ops/quant.py:115-117)."""
+    from flasht5_tpu.ops.quant import quantize_fp8
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (m, k), jnp.float32)
+    w = jax.random.normal(jax.random.PRNGKey(1), (k, n), jnp.float32) * 0.05
+    qt = quantize_fp8(w)
+    out = quant_matmul(x, qt)
+    ref = quant_matmul_ref(x, qt)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-2,
+                               rtol=1e-2)
 
 
 def test_quantize_params_fp8_forward():

@@ -134,3 +134,35 @@ def test_checkpoint_saves_config(tmp_path):
     restored = FlashT5Config.from_dict(loaded)
     assert restored.d_model == tiny_config().d_model
     assert restored.num_heads == tiny_config().num_heads
+
+
+def test_trainer_callbacks(tmp_path):
+    from flasht5_tpu.train.callbacks import (EnergyCallback, JSONLCallback,
+                                             TrainerCallback)
+
+    events = []
+
+    class Recorder(TrainerCallback):
+        def on_train_begin(self, trainer):
+            events.append("begin")
+
+        def on_log(self, trainer, entry):
+            events.append(("log", entry["step"]))
+
+        def on_train_end(self, trainer, result):
+            events.append("end")
+
+    jsonl_path = os.path.join(str(tmp_path), "log.jsonl")
+    energy_path = os.path.join(str(tmp_path), "energy.json")
+    tcfg = TrainerConfig(max_steps=3, logging_steps=1,
+                         learning_rate=1e-3, output_dir=str(tmp_path))
+    tr = Trainer(tiny_config(), tcfg,
+                 callbacks=[Recorder(), JSONLCallback(jsonl_path),
+                            EnergyCallback(out_path=energy_path)])
+    result = tr.train(batches(3))
+    assert events[0] == "begin" and events[-1] == "end"
+    assert ("log", 1) in events and ("log", 3) in events
+    assert os.path.exists(jsonl_path) and os.path.exists(energy_path)
+    assert result["energy"]["energy_kwh"] >= 0
+    # EnergyCallback folds running totals into each log entry
+    assert all("energy_kwh" in e for e in result["logs"])

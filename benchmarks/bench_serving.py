@@ -17,6 +17,8 @@ import numpy as np
 
 
 def main():
+    from flasht5_tpu.runtime import enable_compilation_cache
+    enable_compilation_cache()
     from __graft_entry__ import _flagship_config
     from flasht5_tpu.inference.engine import EngineConfig, InferenceEngine, Request
     from flasht5_tpu.models import t5

@@ -104,6 +104,13 @@ class FlashT5Config:
     # inserts psums after row-parallel matmuls and uses the vocab-parallel
     # loss. None = single-shard semantics (pjit/GSPMD handles any sharding).
     tp_axis: Optional[str] = None
+    # With tp_axis set: replace the blocking psum after row-parallel o/wo
+    # matmuls with the ring-decomposed matmul_reducescatter + tiled
+    # all_gather (parallel/collective_matmul.py), overlapping ICI hops with
+    # the per-chunk matmuls (north-star "ICI collectives overlapped with
+    # dequant-matmul"). Falls back to psum when token count doesn't divide
+    # the axis.
+    use_collective_matmul: bool = False
 
     def __post_init__(self):
         object.__setattr__(

@@ -201,6 +201,30 @@ def _matmul(x, w):
     return jnp.dot(x, w.astype(x.dtype))
 
 
+def _row_parallel_matmul(config: FlashT5Config, x, w):
+    """Row-parallel (k-sharded) matmul + cross-shard reduction.
+
+    Default: local matmul then blocking psum. With use_collective_matmul the
+    reduction runs as a ring matmul_reducescatter (each ICI hop overlapped
+    with the next chunk's matmul) followed by a tiled all_gather — the
+    collective-matmul path of the north star. x: (B, M, k_local) or
+    (M, k_local); w: (k_local, N) (or QuantizedTensor: the overlapped compute
+    is then the dequant-matmul).
+    """
+    axis = config.tp_axis
+    if config.use_collective_matmul:
+        t = jax.lax.axis_size(axis)
+        lead, k_local = x.shape[:-1], x.shape[-1]
+        m = functools.reduce(lambda a, b: a * b, lead, 1)
+        if t > 1 and m % t == 0:
+            from flasht5_tpu.parallel.collective_matmul import (
+                matmul_reducescatter)
+            shard = matmul_reducescatter(x.reshape(m, k_local), w, axis)
+            full = jax.lax.all_gather(shard, axis, axis=0, tiled=True)
+            return full.reshape(*lead, w.shape[1])
+    return jax.lax.psum(_matmul(x, w), axis)
+
+
 def _ff(config: FlashT5Config, params: Params, x, *, rng, deterministic):
     """Pre-norm MLP with residual (reference: modeling_flash_t5.py:147-164)."""
     r1, r2 = (jax.random.split(rng) if rng is not None else (None, None))
@@ -214,10 +238,11 @@ def _ff(config: FlashT5Config, params: Params, x, *, rng, deterministic):
     else:
         h = act_fn(_matmul(h, params["act"]["wi"]))
     h = _dropout(r1, config.dropout_rate, h, deterministic)
-    h = _matmul(h, params["wo"])
     if config.tp_axis is not None:
         # row-parallel wo: partial sums across d_ff shards
-        h = jax.lax.psum(h, config.tp_axis)
+        h = _row_parallel_matmul(config, h, params["wo"])
+    else:
+        h = _matmul(h, params["wo"])
     return x + _dropout(r2, config.dropout_rate, h, deterministic)
 
 
@@ -265,6 +290,7 @@ def _attention(
     bidirectional: bool,
     rng=None,
     deterministic: bool = True,
+    rpe_table: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
     """Multi-head attention (reference: modeling_flash_t5.py:232-294).
 
@@ -336,9 +362,14 @@ def _attention(
 
     if config.attention_type == "pallas_rpe":
         from flasht5_tpu.ops.flash_attention_rpe import flash_attention_rpe
+        # every layer shares block-0's bucket table (T5 semantics: the
+        # layer-0 bias applies in all layers, reference modeling:452-455);
+        # the stack threads it here as `rpe_table`
+        table = rpe_table
+        if table is None and has_pe and pe_params is not None:
+            table = pe_params["relative_attention_bias"]
         out = flash_attention_rpe(
-            qt, kt, vt, params["pe_encoding"]["relative_attention_bias"]
-            if has_pe and pe_params is not None else None,
+            qt, kt, vt, table,
             causal=is_causal, sm_scale=scale, bidirectional=bidirectional,
             num_buckets=config.relative_attention_num_buckets,
             max_distance=config.relative_attention_max_distance)
@@ -355,10 +386,11 @@ def _attention(
                        dropout_rng=drop_rng)
 
     out = jnp.transpose(out, (0, 2, 1, 3)).reshape(b, m, h * dkv)
-    out = _matmul(out, params["o"])
     if config.tp_axis is not None:
         # row-parallel o-projection: partial sums across head shards
-        out = jax.lax.psum(out, config.tp_axis)
+        out = _row_parallel_matmul(config, out, params["o"])
+    else:
+        out = _matmul(out, params["o"])
     return out, position_bias
 
 
@@ -376,6 +408,7 @@ def _block_apply(
     encoder_decoder_position_bias=None,
     rng=None,
     deterministic=True,
+    rpe_table=None,
 ):
     rngs = jax.random.split(rng, 4) if rng is not None else (None,) * 4
 
@@ -386,7 +419,7 @@ def _block_apply(
         config, sa["self_attention"], normed,
         mask=attention_mask, position_bias=position_bias,
         has_pe=has_pe, is_causal=is_decoder, bidirectional=not is_decoder,
-        rng=rngs[0], deterministic=deterministic)
+        rng=rngs[0], deterministic=deterministic, rpe_table=rpe_table)
     hidden_states = hidden_states + _dropout(rngs[1], config.dropout_rate,
                                              attn_out, deterministic)
 
@@ -431,13 +464,25 @@ def stack_apply(
     position_bias = None
     encdec_bias = None
 
+    # pallas_rpe: the linear-memory kernel consumes the raw bucket table in
+    # EVERY layer (T5 semantics: layer-0's bias applies to all layers,
+    # reference modeling:452-455 — for bias PEs that happens by threading the
+    # materialized bias; here the table itself is threaded)
+    rpe_table = None
+    if (config.attention_type == "pallas_rpe"
+            and config.position_encoding_type == "t5"):
+        pe = stack_params["block"][0]["self_attention_layer"][
+            "self_attention"].get("pe_encoding")
+        if pe is not None:
+            rpe_table = pe["relative_attention_bias"]
+
     def make_block_fn(has_pe: bool):
         """Close over every static flag so jax.checkpoint only sees array
         arguments (booleans as traced args would break `if` dispatch)."""
 
         def f(block_params, h, attention_mask, position_bias,
               encoder_hidden_states, encoder_attention_mask,
-              encoder_decoder_position_bias, layer_rng):
+              encoder_decoder_position_bias, layer_rng, rpe_table):
             return _block_apply(
                 config, block_params, h,
                 is_decoder=is_decoder, has_pe=has_pe,
@@ -446,7 +491,8 @@ def stack_apply(
                 encoder_hidden_states=encoder_hidden_states,
                 encoder_attention_mask=encoder_attention_mask,
                 encoder_decoder_position_bias=encoder_decoder_position_bias,
-                rng=layer_rng, deterministic=deterministic)
+                rng=layer_rng, deterministic=deterministic,
+                rpe_table=rpe_table)
 
         if config.remat:
             return jax.checkpoint(
@@ -467,7 +513,8 @@ def stack_apply(
     if use_scan:
         x, position_bias, encdec_bias = block0_fn(
             stack_params["block"][0], x, attention_mask, None,
-            encoder_hidden_states, encoder_attention_mask, None, rngs[1])
+            encoder_hidden_states, encoder_attention_mask, None, rngs[1],
+            rpe_table)
 
         rest = jax.tree.map(lambda *leaves: jnp.stack(leaves),
                             *stack_params["block"][1:])
@@ -482,7 +529,7 @@ def stack_apply(
             r = layer_rng if rng is not None else None
             h, _, _ = rest_fn(bp, h, attention_mask, bias,
                               encoder_hidden_states, encoder_attention_mask,
-                              xbias, r)
+                              xbias, r, rpe_table)
             return (h, bias, xbias), None
 
         (x, _, _), _ = jax.lax.scan(body, (x, position_bias, encdec_bias),
@@ -493,7 +540,7 @@ def stack_apply(
             x, position_bias, encdec_bias = fn(
                 block_params, x, attention_mask, position_bias,
                 encoder_hidden_states, encoder_attention_mask,
-                encdec_bias, rngs[i + 1])
+                encdec_bias, rngs[i + 1], rpe_table)
 
     x = _layer_norm(config, stack_params["final_layer_norm"]["weight"], x)
     x = _dropout(rngs[-1], config.dropout_rate, x, deterministic)

@@ -180,8 +180,17 @@ def _table_bytes(mp, np_, heads, block_m, block_n):
 
 
 def _build_offset_table(w, mp, np_, block_m, block_n, *, bidirectional,
-                        num_buckets, max_distance):
-    """(n_off, H, BM, BN) fp32 bias tiles for every tile token-offset."""
+                        num_buckets, max_distance, dtype=jnp.float32):
+    """(n_off, H, BM, BN) bias tiles for every tile token-offset, plus the
+    (n_off,) per-offset [bucket_min, bucket_max] range tables.
+
+    The tiles are stored in `dtype` — the model dtype in training (the
+    reference's kernels likewise read the bias at model precision), which
+    halves the dominant HBM stream of the table path when bf16. The range
+    tables bound the backward dW bucket loop: a tile far from the diagonal
+    spans only 1-2 of the 32 buckets (log bucketing), so per-bucket
+    reductions outside [min, max] are skipped.
+    """
     from flasht5_tpu.positional import relative_position_bucket
 
     g, t_min, n_off = _offset_geometry(mp, np_, block_m, block_n)
@@ -193,10 +202,13 @@ def _build_offset_table(w, mp, np_, block_m, block_n, *, bidirectional,
         rel, bidirectional=bidirectional, num_buckets=num_buckets,
         max_distance=max_distance)
     # one-hot matmul instead of gather: XLA fuses the one-hot into the MXU
-    # contraction (measured 0.05ms vs 2.6ms for the gather at S=1024) and
-    # fp32 keeps the table exact
+    # contraction (measured 0.05ms vs 2.6ms for the gather at S=1024); the
+    # contraction runs in fp32 and only the stored tiles are cast
     onehot = jax.nn.one_hot(buckets, num_buckets, dtype=jnp.float32)
-    return jnp.einsum("ombk,kh->ohmb", onehot, w.astype(jnp.float32))
+    table = jnp.einsum("ombk,kh->ohmb", onehot, w.astype(jnp.float32))
+    bmin = jnp.min(buckets, axis=(1, 2)).astype(jnp.int32)
+    bmax = jnp.max(buckets, axis=(1, 2)).astype(jnp.int32)
+    return table.astype(dtype), bmin, bmax
 
 
 def _fwd(q, k, v, w, causal, sm_scale, bidirectional, num_buckets,
@@ -214,9 +226,9 @@ def _fwd(q, k, v, w, causal, sm_scale, bidirectional, num_buckets,
                  <= _TABLE_BUDGET_BYTES)
     if use_table:
         g_off, t_min, _ = _offset_geometry(mp, np_, block_m, block_n)
-        table = _build_offset_table(
+        table, _, _ = _build_offset_table(
             w, mp, np_, block_m, block_n, bidirectional=bidirectional,
-            num_buckets=num_buckets, max_distance=max_distance)
+            num_buckets=num_buckets, max_distance=max_distance, dtype=q.dtype)
         kern = functools.partial(
             _fa_bias_fwd_kernel, sm_scale=sm_scale, causal=causal,
             m_len=m_len, n_len=n_len, block_m=block_m, block_n=block_n,
@@ -301,10 +313,10 @@ def _fwd(q, k, v, w, causal, sm_scale, bidirectional, num_buckets,
 # Backward
 # ---------------------------------------------------------------------------
 
-def _bwd_dkv_kernel(q_ref, k_ref, v_ref, w_ref, bias_ref, lse_ref, delta_ref,
-                    do_ref, dk_ref, dv_ref, dw_ref, *,
+def _bwd_dkv_kernel(q_ref, k_ref, v_ref, w_ref, bias_ref, brange_ref, lse_ref,
+                    delta_ref, do_ref, dk_ref, dv_ref, dw_ref, *,
                     sm_scale, causal, bidirectional, num_buckets, max_distance,
-                    m_len, n_len, block_m, block_n, use_table):
+                    m_len, n_len, block_m, block_n, use_table, g_off, t_min):
     h = pl.program_id(1)
     j = pl.program_id(2)
     i = pl.program_id(3)
@@ -359,17 +371,35 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, w_ref, bias_ref, lse_ref, delta_ref,
             preferred_element_type=jnp.float32) * sm_scale
 
         # bucket-weight gradient: per-bucket scalar sums of g, written to
-        # head-h's lane of a resident per-batch (NB, LANES) accumulator tile
+        # head-h's lane of a resident per-batch (NB, LANES) accumulator tile.
+        # The loop is bounded by the tile's [bucket_min, bucket_max] range
+        # (SMEM table, per tile offset): log bucketing means tiles far from
+        # the diagonal span only 1-2 buckets, so most of the 32 per-bucket
+        # full-tile reductions are skipped dynamically.
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, _HEAD_LANES), 1)
-        for bkt in range(num_buckets):
+        if use_table:
+            o_idx = (j * block_n - i * block_m - t_min) // g_off
+            bmin = brange_ref[o_idx, 0]
+            bmax = brange_ref[o_idx, 1]
+        else:
+            bmin, bmax = 0, num_buckets - 1
+
+        def _acc_bucket(bkt):
             s_b = jnp.sum(jnp.where(bucket == bkt, g, 0.0))
             dw_ref[0, bkt:bkt + 1, :] += jnp.where(lane == h, s_b, 0.0)
 
+        for bkt in range(num_buckets):
+            if use_table:
+                pl.when((bkt >= bmin) & (bkt <= bmax))(
+                    functools.partial(_acc_bucket, bkt))
+            else:
+                _acc_bucket(bkt)
 
-def _bwd_dq_kernel(q_ref, k_ref, v_ref, w_ref, bias_ref, lse_ref, delta_ref,
-                   do_ref, dq_ref, *, sm_scale, causal, bidirectional,
-                   num_buckets, max_distance, m_len, n_len, block_m, block_n,
-                   use_table):
+
+def _bwd_dq_kernel(q_ref, k_ref, v_ref, w_ref, bias_ref, brange_ref, lse_ref,
+                   delta_ref, do_ref, dq_ref, *, sm_scale, causal,
+                   bidirectional, num_buckets, max_distance, m_len, n_len,
+                   block_m, block_n, use_table, g_off, t_min):
     h = pl.program_id(1)
     i = pl.program_id(2)
     j = pl.program_id(3)
@@ -435,17 +465,19 @@ def _bwd(q, k, v, w, causal, sm_scale, bidirectional, num_buckets,
                  <= _TABLE_BUDGET_BYTES)
     if use_table:
         g_off, t_min, _ = _offset_geometry(mp, np_, block_m, block_n)
-        table = _build_offset_table(
+        table, bmin, bmax = _build_offset_table(
             w, mp, np_, block_m, block_n, bidirectional=bidirectional,
-            num_buckets=num_buckets, max_distance=max_distance)
+            num_buckets=num_buckets, max_distance=max_distance, dtype=q.dtype)
+        brange = jnp.stack([bmin, bmax], axis=1)          # (n_off, 2) SMEM
     else:
         g_off, t_min = 1, 0
         table = jnp.zeros((1, 1, block_m, block_n), jnp.float32)
+        brange = jnp.zeros((1, 2), jnp.int32)
 
     common = dict(sm_scale=sm_scale, causal=causal, bidirectional=bidirectional,
                   num_buckets=num_buckets, max_distance=max_distance,
                   m_len=m_len, n_len=n_len, block_m=block_m, block_n=block_n,
-                  use_table=use_table)
+                  use_table=use_table, g_off=g_off, t_min=t_min)
 
     def specs(order):
         # order: "kv" (b,h,j,i) or "q" (b,h,i,j)
@@ -469,6 +501,8 @@ def _bwd(q, k, v, w, causal, sm_scale, bidirectional, num_buckets,
             pl.BlockSpec((1, 1, block_n, d), ki, memory_space=pltpu.VMEM),
             pl.BlockSpec(wp.shape, (lambda *a: (0, 0)), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, block_m, block_n), bi, memory_space=pltpu.VMEM),
+            pl.BlockSpec(brange.shape, (lambda *a: (0, 0)),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, block_m, 1), ri, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, block_m, 1), ri, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, block_m, d), qi, memory_space=pltpu.VMEM),
@@ -493,7 +527,7 @@ def _bwd(q, k, v, w, causal, sm_scale, bidirectional, num_buckets,
         ],
         compiler_params=_compiler_params(("parallel", "parallel", "parallel", "arbitrary")),
         interpret=interpret_mode(),
-    )(qp, kp, vp, wp, table, lsep, deltap, dop)
+    )(qp, kp, vp, wp, table, brange, lsep, deltap, dop)
 
     dq = pl.pallas_call(
         functools.partial(_bwd_dq_kernel, **common),
@@ -505,7 +539,7 @@ def _bwd(q, k, v, w, causal, sm_scale, bidirectional, num_buckets,
         out_shape=jax.ShapeDtypeStruct(qp.shape, jnp.float32),
         compiler_params=_compiler_params(("parallel", "parallel", "parallel", "arbitrary")),
         interpret=interpret_mode(),
-    )(qp, kp, vp, wp, table, lsep, deltap, dop)
+    )(qp, kp, vp, wp, table, brange, lsep, deltap, dop)
 
     nb, h_real = w.shape
     dw = jnp.sum(dw_all, axis=0)[:nb, :h_real].astype(w.dtype)

@@ -47,6 +47,7 @@ def adamw_scale(
     state_dtype: Optional[jnp.dtype] = None,
     mask=None,
     stat_axes=None,
+    stat_batch_dims=None,
 ) -> optax.GradientTransformation:
     """Build the transformation. `learning_rate` is a float or schedule fn.
 
@@ -59,6 +60,12 @@ def adamw_scale(
     tensor-sharded leaf is combined across its shards with psum so the
     Adafactor-style LR scaling matches the unsharded math exactly. (Strings,
     because tuples/None would be treated as pytree containers.)
+
+    `stat_batch_dims`: optional pytree (or callable of params) of ints — the
+    number of leading axes of a leaf to treat as independent parameters for
+    the rms(param) statistic. Used for stacked-layer leaves (pipeline/scan
+    layouts, leading layer axis): 1 gives each layer its own rms, matching
+    the per-block unstacked math exactly.
     """
 
     def lr_at(step):
@@ -97,8 +104,14 @@ def adamw_scale(
             axes_tree = stat_axes
         else:
             axes_tree = jax.tree.map(lambda _: "", params)
+        if callable(stat_batch_dims):
+            bd_tree = stat_batch_dims(params)
+        elif stat_batch_dims is not None:
+            bd_tree = stat_batch_dims
+        else:
+            bd_tree = jax.tree.map(lambda _: 0, params)
 
-        def leaf(p, g, m, v, kc, dm, axes):
+        def leaf(p, g, m, v, kc, dm, axes, bd):
             gf = g.astype(jnp.float32)
             m32 = m.astype(jnp.float32) * b1 + gf * (1.0 - b1)
             v32 = v.astype(jnp.float32) * b2 + gf * gf * (1.0 - b2)
@@ -109,8 +122,17 @@ def adamw_scale(
                 bc1 = 1.0 - b1 ** step.astype(jnp.float32)
                 bc2 = 1.0 - b2 ** step.astype(jnp.float32)
                 step_size = step_size * jnp.sqrt(bc2) / bc1
-            sum_sq = jnp.sum(jnp.square(p.astype(jnp.float32)))
-            n = jnp.asarray(p.size, jnp.float32)
+            if bd:
+                reduce_axes = tuple(range(bd, p.ndim))
+                sum_sq = jnp.sum(jnp.square(p.astype(jnp.float32)),
+                                 axis=reduce_axes, keepdims=True)
+                lead = 1
+                for s in p.shape[:bd]:
+                    lead *= s
+                n = jnp.asarray(p.size // max(1, lead), jnp.float32)
+            else:
+                sum_sq = jnp.sum(jnp.square(p.astype(jnp.float32)))
+                n = jnp.asarray(p.size, jnp.float32)
             if axes:
                 ax = tuple(axes.split(","))
                 sum_sq = jax.lax.psum(sum_sq, ax)
@@ -141,9 +163,12 @@ def adamw_scale(
         flat_k = treedef.flatten_up_to(state.kahan_comp)
         flat_d = treedef.flatten_up_to(decay_mask)
         flat_a = treedef.flatten_up_to(axes_tree)
+        flat_b = treedef.flatten_up_to(bd_tree)
 
-        outs = [leaf(p, g, m, v, kc, dm, ax) for p, g, m, v, kc, dm, ax in
-                zip(flat_p, flat_g, flat_m, flat_v, flat_k, flat_d, flat_a)]
+        outs = [leaf(p, g, m, v, kc, dm, ax, bd)
+                for p, g, m, v, kc, dm, ax, bd in
+                zip(flat_p, flat_g, flat_m, flat_v, flat_k, flat_d, flat_a,
+                    flat_b)]
         deltas = treedef.unflatten([o[0] for o in outs])
         new_m = treedef.unflatten([o[1] for o in outs])
         new_v = treedef.unflatten([o[2] for o in outs])

@@ -40,14 +40,18 @@ def pipeline_apply(
     block_fn(params_one_block, x, *extra_inputs) -> x : one block's forward.
     stacked_params: pytree with leading LOCAL layer axis (global layer axis
         sharded over `axis_name`; consecutive layers per stage).
-    microbatches: (M, mb, T, D) — replicated across the pipe axis.
-    Returns (M, mb, T, D): the pipeline output, valid on every device
+    microbatches: array (M, mb, T, D) or a PYTREE of such arrays (leading
+        microbatch axis M on every leaf) — replicated across the pipe axis.
+        Pytree leaves travel the ring together; this is how per-microbatch
+        side inputs (e.g. the matching encoder states for decoder
+        cross-attention) ride along with the activations.
+    Returns the same structure: the pipeline output, valid on every device
     (broadcast from the last stage).
     """
     s_size = jax.lax.axis_size(axis_name)
     s_idx = jax.lax.axis_index(axis_name)
-    n_mb = microbatches.shape[0]
-    mb_shape = microbatches.shape[1:]
+    leaves = jax.tree.leaves(microbatches)
+    n_mb = leaves[0].shape[0]
 
     def apply_stage(x):
         def body(h, bp):
@@ -63,25 +67,31 @@ def pipeline_apply(
         # stage 0 injects microbatch t (clamped; bubbles masked)
         mb_idx = jnp.clip(t, 0, n_mb - 1)
         inject = jnp.logical_and(s_idx == 0, t < n_mb)
-        x_in = jnp.where(inject, microbatches[mb_idx], buf)
+        x_in = jax.tree.map(
+            lambda m, b: jnp.where(inject, m[mb_idx], b), microbatches, buf)
         y = apply_stage(x_in)
         # last stage emits microbatch t - (S-1)
         out_idx = jnp.clip(t - (s_size - 1), 0, n_mb - 1)
         emit = jnp.logical_and(s_idx == s_size - 1, t >= s_size - 1)
-        outs = jax.lax.dynamic_update_index_in_dim(
-            outs,
-            jnp.where(emit, y, jax.lax.dynamic_index_in_dim(outs, out_idx,
-                                                            keepdims=False)),
-            out_idx, axis=0)
+        outs = jax.tree.map(
+            lambda o, yy: jax.lax.dynamic_update_index_in_dim(
+                o,
+                jnp.where(emit, yy,
+                          jax.lax.dynamic_index_in_dim(o, out_idx,
+                                                       keepdims=False)),
+                out_idx, axis=0),
+            outs, y)
         buf = (jax.lax.ppermute(y, axis_name, fwd_perm)
                if s_size > 1 else y)
         return (buf, outs), None
 
-    buf0 = jnp.zeros(mb_shape, microbatches.dtype)
-    outs0 = jnp.zeros_like(microbatches)
+    buf0 = jax.tree.map(lambda m: jnp.zeros(m.shape[1:], m.dtype),
+                        microbatches)
+    outs0 = jax.tree.map(jnp.zeros_like, microbatches)
     (_, outs), _ = jax.lax.scan(tick, (buf0, outs0),
                                 jnp.arange(n_mb + s_size - 1))
 
     # broadcast the last stage's outputs to every stage: zero elsewhere + psum
-    outs = jnp.where(s_idx == s_size - 1, outs, 0.0)
+    outs = jax.tree.map(lambda o: jnp.where(s_idx == s_size - 1, o, 0.0),
+                        outs)
     return jax.lax.psum(outs, axis_name)

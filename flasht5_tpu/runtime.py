@@ -15,6 +15,24 @@ import jax
 
 
 @lru_cache(maxsize=1)
+def enable_compilation_cache(cache_dir: str | None = None) -> str:
+    """Point JAX's persistent compilation cache at the repo-local store.
+
+    Remote (tunneled) TPU compiles run 1-4 minutes per program; the cache
+    turns re-runs of bench/validation/sweep tools into near-instant loads.
+    Call from tool entry points (bench.py does its own equivalent setup).
+    """
+    if cache_dir is None:
+        cache_dir = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    return cache_dir
+
+
+@lru_cache(maxsize=1)
 def interpret_mode() -> bool:
     env = os.environ.get("FLASHT5_TPU_INTERPRET")
     if env is not None:

@@ -47,6 +47,10 @@ class TrainerConfig:
     seed: int = 0
     data_parallel: int = 1
     tensor_parallel: int = 1
+    # GPipe pipeline parallelism over a ("pipe", "data") mesh (pp_step.py);
+    # mutually exclusive with tensor_parallel > 1. num_layers must divide it.
+    pipeline_parallel: int = 1
+    pp_microbatches: int = 4
     kahan_sum: bool = False
     # optimizer state dtype (reference use_state_dtype, adamw_scaled.py:102):
     # "bfloat16" halves optimizer memory at some fidelity cost
@@ -72,7 +76,15 @@ class Trainer:
         # train_flash_t5.py:7-9,96, wandb in train_fat5_minipile.py:8,89);
         # see flasht5_tpu.train.callbacks
         self.callbacks = list(callbacks or [])
-        self.mesh = make_mesh(tcfg.data_parallel, tcfg.tensor_parallel)
+        self.pp = tcfg.pipeline_parallel > 1
+        if self.pp:
+            if tcfg.tensor_parallel > 1:
+                raise ValueError("pipeline_parallel excludes tensor_parallel")
+            from flasht5_tpu.parallel.pp_step import make_pp_mesh
+            self.mesh = make_pp_mesh(tcfg.pipeline_parallel,
+                                     tcfg.data_parallel)
+        else:
+            self.mesh = make_mesh(tcfg.data_parallel, tcfg.tensor_parallel)
 
         if tcfg.lr_scheduler == "cosine":
             self.schedule = cosine_schedule(tcfg.learning_rate, tcfg.max_steps,
@@ -83,11 +95,16 @@ class Trainer:
         else:
             self.schedule = tcfg.learning_rate
 
+        pp_stats = None
+        if self.pp:
+            from flasht5_tpu.parallel.pp_step import pp_stat_batch_dims
+            pp_stats = pp_stat_batch_dims
         tx = adamw_scale(self.schedule, b1=tcfg.adam_beta1, b2=tcfg.adam_beta2,
                          eps=tcfg.adam_epsilon, weight_decay=tcfg.weight_decay,
                          kahan_sum=tcfg.kahan_sum, mask=no_decay_mask,
                          state_dtype=(jnp.dtype(tcfg.state_dtype)
-                                      if tcfg.state_dtype else None))
+                                      if tcfg.state_dtype else None),
+                         stat_batch_dims=pp_stats)
         if tcfg.gradient_clip_norm:
             tx = optax.chain(optax.clip_by_global_norm(tcfg.gradient_clip_norm), tx)
         if tcfg.gradient_accumulation_steps > 1:
@@ -95,6 +112,28 @@ class Trainer:
             # this from HF Trainer's gradient_accumulation_steps)
             tx = optax.MultiSteps(tx, tcfg.gradient_accumulation_steps)
         self.tx = tx
+
+        if self.pp:
+            from flasht5_tpu.parallel.pp_step import (
+                make_pp_train_step, pp_param_pspecs, pp_train_state,
+                to_pp_params)
+            from jax.sharding import NamedSharding
+            if params is None:
+                self.params, self.opt_state = pp_train_state(
+                    config, self.mesh, tx, jax.random.PRNGKey(tcfg.seed))
+            else:
+                pp_params = to_pp_params(params)
+                abstract = jax.eval_shape(lambda: pp_params)
+                shardings = jax.tree.map(
+                    lambda s: NamedSharding(self.mesh, s),
+                    pp_param_pspecs(abstract))
+                self.params = jax.device_put(pp_params, shardings)
+                self.opt_state = jax.jit(tx.init)(self.params)
+            self.step_num = 0
+            self._step_fn = make_pp_train_step(
+                config, self.mesh, tx, n_microbatches=tcfg.pp_microbatches)
+            self._eval_fn = jax.jit(self._make_eval())
+            return
 
         abstract = jax.eval_shape(
             lambda r: t5.init_params(r, config), jax.random.PRNGKey(tcfg.seed))
@@ -131,9 +170,12 @@ class Trainer:
         return step
 
     def _make_eval(self):
-        config = self.config
+        config, pp = self.config, self.pp
 
         def eval_step(params, batch):
+            if pp:
+                from flasht5_tpu.parallel.pp_step import from_pp_params
+                params = from_pp_params(params)
             out = t5.forward(config, params,
                              input_ids=batch["input_ids"],
                              attention_mask=batch.get("attention_mask"),
@@ -144,6 +186,9 @@ class Trainer:
 
     def _device_batch(self, batch):
         bs = batch_sharding(self.mesh)
+        if self.pp:
+            # pp_step's shard_map in_specs are fixed to these two keys
+            batch = {k: batch[k] for k in ("input_ids", "labels")}
         return {k: jax.device_put(jnp.asarray(np.asarray(v)), bs)
                 for k, v in batch.items()}
 

@@ -129,3 +129,60 @@ def test_rpe_table_and_chain_paths_agree(monkeypatch):
                                     max_distance=maxd)
     np.testing.assert_allclose(np.asarray(out_table), np.asarray(out_chain),
                                atol=2e-3, rtol=1e-2)
+
+
+def test_rpe_model_integration_multilayer():
+    """Regression: with num_layers > 1, the bucket table must reach blocks
+    1..N-1 (round-1 bug: flash_attention_rpe got None there and silently ran
+    bias-free attention in every layer but the first)."""
+    from flasht5_tpu.config import FlashT5Config
+    from flasht5_tpu.models import t5
+
+    config = FlashT5Config(vocab_size=128, d_model=64, d_kv=16, num_heads=4,
+                           d_ff=128, num_layers=3, dropout_rate=0.0,
+                           attention_type="pallas_rpe", attention_scale=1.0,
+                           dtype="float32")
+    config_ref = config.replace(attention_type="ref")
+    params = t5.init_params(jax.random.PRNGKey(0), config)
+    ids = jax.random.randint(jax.random.PRNGKey(1), (2, 32), 0, 128)
+    lbl = jax.random.randint(jax.random.PRNGKey(2), (2, 16), 0, 128)
+    out = t5.forward(config, params, input_ids=ids, labels=lbl)
+    ref = t5.forward(config_ref, params, input_ids=ids, labels=lbl)
+    np.testing.assert_allclose(np.asarray(out["logits"]),
+                               np.asarray(ref["logits"]), atol=1e-2, rtol=1e-2)
+    # the unrolled (scan_blocks=False) path must agree too
+    out2 = t5.forward(config.replace(scan_blocks=False), params,
+                      input_ids=ids, labels=lbl)
+    np.testing.assert_allclose(np.asarray(out["logits"]),
+                               np.asarray(out2["logits"]), atol=1e-5)
+
+
+def test_rpe_bf16_table_fwd_bwd():
+    """bf16 inputs store the offset table in bf16 (model dtype — reference
+    kernels likewise read the bias at model precision); numerics must stay
+    within bf16 tolerance of the fp32 oracle, fwd and bwd."""
+    nb, maxd, scale = 32, 128, 0.125
+    q, k, v, w = _setup(2, 4, 128, 128, 64, nb, maxd, seed=11)
+    qb, kb, vb = (x.astype(jnp.bfloat16) for x in (q, k, v))
+
+    out = flash_attention_rpe(qb, kb, vb, w, causal=False, sm_scale=scale,
+                              bidirectional=True, num_buckets=nb,
+                              max_distance=maxd)
+    ref = _ref_out(q, k, v, w, causal=False, bidirectional=True,
+                   nb=nb, maxd=maxd, scale=scale)
+    np.testing.assert_allclose(np.asarray(out, np.float32), np.asarray(ref),
+                               atol=3e-2, rtol=3e-2)
+
+    def loss(w_):
+        return jnp.sum(flash_attention_rpe(
+            qb, kb, vb, w_, causal=False, sm_scale=scale, bidirectional=True,
+            num_buckets=nb, max_distance=maxd).astype(jnp.float32))
+
+    def loss_ref(w_):
+        return jnp.sum(_ref_out(q, k, v, w_, causal=False, bidirectional=True,
+                                nb=nb, maxd=maxd, scale=scale))
+
+    gw = jax.grad(loss)(w)
+    gw_ref = jax.grad(loss_ref)(w)
+    np.testing.assert_allclose(np.asarray(gw), np.asarray(gw_ref),
+                               atol=0.5, rtol=5e-2)

@@ -196,3 +196,41 @@ def test_tensor_sharded_kv_decode():
     ref = jnp.stack(outs, axis=1)
     np.testing.assert_allclose(np.asarray(logits_tp), np.asarray(ref),
                                atol=1e-4, rtol=1e-4)
+
+
+@pytest.mark.parametrize("data,tensor", [(2, 4), (4, 2)])
+def test_tp_collective_matmul_matches_single_device(data, tensor):
+    """TP step with the ring collective-matmul path (matmul_reducescatter +
+    tiled all_gather replacing the blocking psum after row-parallel o/wo)
+    must still match the single-device oracle — fwd AND bwd (AD through
+    ppermute)."""
+    config = tiny_config(use_collective_matmul=True)
+    mesh = make_mesh(data, tensor)
+    tx = adamw_scale(1e-2, mask=no_decay_mask, stat_axes=tp_stat_axes)
+    params, opt_state = tp_train_state(config, mesh, tx)
+    step = make_tp_train_step(config, mesh, tx)
+    batch, ids, lbl = _batch(mesh, seed=2)
+
+    oracle_cfg = config.replace(use_collective_matmul=False)
+    stx = adamw_scale(1e-2, mask=no_decay_mask)
+    sp = t5.init_params(jax.random.PRNGKey(0), oracle_cfg)
+    s_opt = stx.init(sp)
+
+    @jax.jit
+    def sstep(p, o):
+        loss, g = jax.value_and_grad(
+            lambda pp: t5.forward(oracle_cfg, pp, input_ids=ids,
+                                  labels=lbl)["loss"])(p)
+        u, o = stx.update(g, o, p)
+        return optax.apply_updates(p, u), o, loss
+
+    for _ in range(2):
+        params, opt_state, metrics = step(params, opt_state, batch, None)
+        sp, s_opt, sloss = sstep(sp, s_opt)
+
+    np.testing.assert_allclose(float(metrics["loss"]), float(sloss),
+                               rtol=1e-4, atol=1e-4)
+    tp_wo = np.asarray(jax.device_get(
+        params["encoder"]["block"][0]["ff_layer"]["wo"]))
+    ref_wo = np.asarray(sp["encoder"]["block"][0]["ff_layer"]["wo"])
+    np.testing.assert_allclose(tp_wo, ref_wo, rtol=1e-4, atol=1e-5)

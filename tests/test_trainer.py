@@ -166,3 +166,23 @@ def test_trainer_callbacks(tmp_path):
     assert result["energy"]["energy_kwh"] >= 0
     # EnergyCallback folds running totals into each log entry
     assert all("energy_kwh" in e for e in result["logs"])
+
+
+def test_pipeline_parallel_trainer(tmp_path):
+    """Full encoder-decoder training THROUGH the Trainer over a
+    ("pipe","data") mesh (round-1 gap: pipeline was a stacked-block harness
+    only)."""
+    cfg = tiny_config().replace(num_layers=2, num_decoder_layers=2)
+    tcfg = TrainerConfig(max_steps=3, logging_steps=1, learning_rate=1e-3,
+                         pipeline_parallel=2, data_parallel=2,
+                         pp_microbatches=2, eval_steps=2,
+                         output_dir=str(tmp_path))
+    tr = Trainer(cfg, tcfg)
+    result = tr.train(batches(3), eval_iter=[next(iter(batches(1, seed=9)))])
+    losses = [e["loss"] for e in result["logs"] if "loss" in e]
+    assert len(losses) == 3 and all(np.isfinite(l) for l in losses)
+    assert any("eval_loss" in e for e in result["logs"])
+    # checkpoint round-trip with pp-structured params
+    path = tr.save_checkpoint(3)
+    tr2 = Trainer(cfg, tcfg)
+    assert tr2.restore_checkpoint(path) == 3

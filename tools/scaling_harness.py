@@ -57,12 +57,16 @@ def measure(config, data, tensor, steps, seq, dec, per_device_batch):
 
 
 def main():
+    from flasht5_tpu.runtime import enable_compilation_cache
+    enable_compilation_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--tensor", type=int, default=1)
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--seq", type=int, default=256)
     ap.add_argument("--dec", type=int, default=64)
     ap.add_argument("--per-device-batch", type=int, default=4)
+    ap.add_argument("--out", default=None,
+                    help="write the full results JSON to this path")
     args = ap.parse_args()
 
     from flasht5_tpu.config import FlashT5Config
@@ -90,8 +94,15 @@ def main():
         print(json.dumps(results[-1]), flush=True)
     ok = all(r["scaling_efficiency"] >= 0.85 for r in results[1:]) \
         if len(results) > 1 else True
-    print(json.dumps({"metric": "host_scaling", "passes_85pct": ok,
-                      "process_count": jax.process_count()}), flush=True)
+    summary = {"metric": "host_scaling", "passes_85pct": ok,
+               "process_count": jax.process_count(),
+               "backend": jax.default_backend(),
+               "results": results}
+    print(json.dumps({k: v for k, v in summary.items() if k != "results"}),
+          flush=True)
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(summary, f, indent=2)
 
 
 if __name__ == "__main__":

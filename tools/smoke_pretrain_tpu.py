@@ -61,8 +61,12 @@ def markov_corpus(vocab, n_docs, rng, order_tokens=20):
 
 
 def main():
+    from flasht5_tpu.runtime import enable_compilation_cache
+    enable_compilation_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=300)
+    ap.add_argument("--out", default=None,
+                    help="also write the result JSON to this path")
     args = ap.parse_args()
 
     from flasht5_tpu.config import FlashT5Config
@@ -126,16 +130,24 @@ def main():
     assert p_fp < ppl_init / 2, (ppl_init, p_fp)
     p_i8 = ppl(quantize_params(trainer.params, "int8"))
     p_f8 = ppl(quantize_params(trainer.params, "fp8"))
-    print(json.dumps({
+    payload = {
         "metric": "smoke_pretrain",
+        "steps": args.steps,
         "ppl_init": round(ppl_init, 2),
         "first_loss": round(losses[0], 4),
         "final_loss": round(losses[-1], 4),
         "ppl_fp": round(p_fp, 4),
+        "ppl_int8": round(p_i8, 4),
+        "ppl_fp8": round(p_f8, 4),
         "delta_ppl_int8": round(p_i8 - p_fp, 4),
         "delta_ppl_fp8": round(p_f8 - p_fp, 4),
         "tokens_per_sec": round(result["logs"][-1]["tokens_per_sec"], 1),
-    }), flush=True)
+        "backend": jax.default_backend(),
+    }
+    print(json.dumps(payload), flush=True)
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(payload, f, indent=2)
 
 
 if __name__ == "__main__":

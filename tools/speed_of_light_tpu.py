@@ -77,6 +77,8 @@ def report(tag, seconds, flops, bytes_accessed, chip="v5e"):
 
 
 def main():
+    from flasht5_tpu.runtime import enable_compilation_cache
+    enable_compilation_cache()
     B, H, S, D = 16, 12, 1024, 64
     bf = jnp.bfloat16
     ks = jax.random.split(jax.random.PRNGKey(0), 4)

@@ -32,6 +32,8 @@ def check(tag, got, want, atol=2e-2, rtol=2e-2):
 
 
 def main():
+    from flasht5_tpu.runtime import enable_compilation_cache
+    enable_compilation_cache()
     assert jax.default_backend() == "tpu", "run on the TPU"
     key = jax.random.PRNGKey(0)
 

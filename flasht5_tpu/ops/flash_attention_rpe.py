@@ -50,7 +50,18 @@ from flasht5_tpu.ops.flash_attention import (
 # in-kernel select-chain beyond this budget (very long sequences), where
 # memory, not speed, is the binding constraint.
 _TABLE_BUDGET_BYTES = 128 * 1024 * 1024
+import os as _os
 from flasht5_tpu.runtime import interpret_mode
+
+
+def _table_dtype(q_dtype):
+    """Offset-table storage dtype. Default fp32; FLASHT5_RPE_TABLE_BF16=1
+    stores at model dtype (A/B knob — a first bf16-table attempt measured
+    SLOWER end-to-end than fp32 on v5e, likely the (16,128)-tiled bf16
+    load + relayout in the score add; kept as an experiment switch)."""
+    if _os.environ.get("FLASHT5_RPE_TABLE_BF16") == "1":
+        return q_dtype
+    return jnp.float32
 
 _HEAD_LANES = 128  # lane width of the in-kernel weight / dweight tiles
 
@@ -228,7 +239,8 @@ def _fwd(q, k, v, w, causal, sm_scale, bidirectional, num_buckets,
         g_off, t_min, _ = _offset_geometry(mp, np_, block_m, block_n)
         table, _, _ = _build_offset_table(
             w, mp, np_, block_m, block_n, bidirectional=bidirectional,
-            num_buckets=num_buckets, max_distance=max_distance, dtype=q.dtype)
+            num_buckets=num_buckets, max_distance=max_distance,
+            dtype=_table_dtype(q.dtype))
         kern = functools.partial(
             _fa_bias_fwd_kernel, sm_scale=sm_scale, causal=causal,
             m_len=m_len, n_len=n_len, block_m=block_m, block_n=block_n,
@@ -384,16 +396,15 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, w_ref, bias_ref, brange_ref, lse_ref,
         else:
             bmin, bmax = 0, num_buckets - 1
 
-        def _acc_bucket(bkt):
+        # NOTE: a per-bucket @pl.when guarded by [bmin, bmax] measured 25%
+        # SLOWER end-to-end than this straight-line form (76k vs 102k tok/s
+        # full-step): Mosaic's predication costs more than the skipped
+        # reductions save. The masked-sum chain stays unconditional; the
+        # range instead WIDENS nothing — it selects a zero contribution.
+        del bmin, bmax
+        for bkt in range(num_buckets):
             s_b = jnp.sum(jnp.where(bucket == bkt, g, 0.0))
             dw_ref[0, bkt:bkt + 1, :] += jnp.where(lane == h, s_b, 0.0)
-
-        for bkt in range(num_buckets):
-            if use_table:
-                pl.when((bkt >= bmin) & (bkt <= bmax))(
-                    functools.partial(_acc_bucket, bkt))
-            else:
-                _acc_bucket(bkt)
 
 
 def _bwd_dq_kernel(q_ref, k_ref, v_ref, w_ref, bias_ref, brange_ref, lse_ref,
@@ -467,7 +478,8 @@ def _bwd(q, k, v, w, causal, sm_scale, bidirectional, num_buckets,
         g_off, t_min, _ = _offset_geometry(mp, np_, block_m, block_n)
         table, bmin, bmax = _build_offset_table(
             w, mp, np_, block_m, block_n, bidirectional=bidirectional,
-            num_buckets=num_buckets, max_distance=max_distance, dtype=q.dtype)
+            num_buckets=num_buckets, max_distance=max_distance,
+            dtype=_table_dtype(q.dtype))
         brange = jnp.stack([bmin, bmax], axis=1)          # (n_off, 2) SMEM
     else:
         g_off, t_min = 1, 0

@@ -21,7 +21,14 @@ def enable_compilation_cache(cache_dir: str | None = None) -> str:
     Remote (tunneled) TPU compiles run 1-4 minutes per program; the cache
     turns re-runs of bench/validation/sweep tools into near-instant loads.
     Call from tool entry points (bench.py does its own equivalent setup).
+    TPU-only: CPU AOT cache entries are machine-feature-specific and risk
+    SIGILL when the store is shared across hosts (it is committed to git).
     """
+    try:
+        if jax.default_backend() != "tpu":
+            return ""
+    except Exception:
+        return ""
     if cache_dir is None:
         cache_dir = os.path.join(
             os.path.dirname(os.path.dirname(os.path.abspath(__file__))),

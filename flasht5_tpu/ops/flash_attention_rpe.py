@@ -407,6 +407,94 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, w_ref, bias_ref, brange_ref, lse_ref,
             dw_ref[0, bkt:bkt + 1, :] += jnp.where(lane == h, s_b, 0.0)
 
 
+def _bwd_fused_kernel(q_ref, k_ref, v_ref, w_ref, bias_ref, brange_ref,
+                      lse_ref, delta_ref, do_ref, dq_in_ref,
+                      dq_ref, dk_ref, dv_ref, dw_ref, *,
+                      sm_scale, causal, bidirectional, num_buckets,
+                      max_distance, m_len, n_len, block_m, block_n,
+                      use_table, g_off, t_min):
+    """Single-sweep backward: grid (b, h, j, i) with i innermost.
+
+    Computes p = exp(s - lse) ONCE per (i, j) tile and produces all four
+    gradients from it: dk/dv accumulate in resident VMEM blocks (index j,
+    constant across the inner i sweep), dW in the resident per-batch lane
+    accumulator, and dq[i] accumulates THROUGH HBM — dq is an aliased
+    input/output (input_output_aliases) whose block i is re-fetched, added
+    to, and written back on every visit; the TPU grid is sequential, so the
+    j-revisits of block i read the previous write. This halves the backward's
+    tile loads and score/softmax recompute vs the two-pass (dkv, dq) form.
+    """
+    h = pl.program_id(1)
+    j = pl.program_id(2)
+    i = pl.program_id(3)
+
+    @pl.when(i == 0)
+    def _init_kv():
+        dk_ref[...] = jnp.zeros_like(dk_ref)
+        dv_ref[...] = jnp.zeros_like(dv_ref)
+
+    @pl.when((h == 0) & (j == 0) & (i == 0))
+    def _init_w():
+        dw_ref[...] = jnp.zeros_like(dw_ref)
+
+    run = True
+    if causal:
+        run = j * block_n <= i * block_m + block_m - 1 + (n_len - m_len)
+
+    # copy-through must happen whether or not the tile computes, so skipped
+    # (fully-masked causal) tiles still propagate the accumulated dq
+    dq_acc = dq_in_ref[0, 0]
+
+    @pl.when(run)
+    def _compute():
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * sm_scale
+        bucket = _bucket_tile(i, j, block_m, block_n,
+                              bidirectional=bidirectional,
+                              num_buckets=num_buckets,
+                              max_distance=max_distance)
+        if use_table:
+            s = s + bias_ref[0, 0]
+        else:
+            s = s + _bias_from_buckets(bucket, w_ref, h, num_buckets)
+        rows = i * block_m + jax.lax.broadcasted_iota(jnp.int32, (block_m, block_n), 0)
+        cols = j * block_n + jax.lax.broadcasted_iota(jnp.int32, (block_m, block_n), 1)
+        mask = (cols < n_len) & (rows < m_len)
+        if causal:
+            mask = mask & (cols <= rows + (n_len - m_len))
+
+        lse = lse_ref[0, 0]
+        lse_ok = lse > _NEG_INF / 2
+        p = jnp.where(mask & lse_ok, jnp.exp(s - jnp.where(lse_ok, lse, 0.0)), 0.0)
+
+        do = do_ref[0, 0]
+        dp = jax.lax.dot_general(do, v_ref[0, 0], (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        g = p * (dp - delta_ref[0, 0])
+
+        dv_ref[0, 0] += jax.lax.dot_general(
+            p.astype(do_ref.dtype), do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dk_ref[0, 0] += jax.lax.dot_general(
+            g.astype(q_ref.dtype), q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * sm_scale
+        dq_ref[0, 0] = dq_acc + jax.lax.dot_general(
+            g.astype(k_ref.dtype), k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * sm_scale
+
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, _HEAD_LANES), 1)
+        for bkt in range(num_buckets):
+            s_b = jnp.sum(jnp.where(bucket == bkt, g, 0.0))
+            dw_ref[0, bkt:bkt + 1, :] += jnp.where(lane == h, s_b, 0.0)
+
+    if causal:
+        @pl.when(jnp.logical_not(run))
+        def _passthrough():
+            dq_ref[0, 0] = dq_acc
+
+
 def _bwd_dq_kernel(q_ref, k_ref, v_ref, w_ref, bias_ref, brange_ref, lse_ref,
                    delta_ref, do_ref, dq_ref, *, sm_scale, causal,
                    bidirectional, num_buckets, max_distance, m_len, n_len,
@@ -519,6 +607,50 @@ def _bwd(q, k, v, w, causal, sm_scale, bidirectional, num_buckets,
             pl.BlockSpec((1, 1, block_m, 1), ri, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, block_m, d), qi, memory_space=pltpu.VMEM),
         ]
+
+    if _os.environ.get("FLASHT5_RPE_FUSED_BWD") == "1":
+        # single-sweep backward: p computed once per tile, dq accumulated
+        # through an aliased HBM buffer (see _bwd_fused_kernel)
+        dq_zero = jnp.zeros(qp.shape, jnp.float32)
+        dq, dk, dv, dw_all = pl.pallas_call(
+            functools.partial(_bwd_fused_kernel, **common),
+            grid=(batch, heads, np_ // block_n, mp // block_m),
+            in_specs=specs("kv") + [
+                pl.BlockSpec((1, 1, block_m, d),
+                             lambda b, h, j, i: (b, h, i, 0),
+                             memory_space=pltpu.VMEM)],
+            out_specs=[
+                pl.BlockSpec((1, 1, block_m, d),
+                             lambda b, h, j, i: (b, h, i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, block_n, d),
+                             lambda b, h, j, i: (b, h, j, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, block_n, d),
+                             lambda b, h, j, i: (b, h, j, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, nb_pad, _HEAD_LANES),
+                             lambda b, h, j, i: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct(qp.shape, jnp.float32),
+                jax.ShapeDtypeStruct(kp.shape, jnp.float32),
+                jax.ShapeDtypeStruct(vp.shape, jnp.float32),
+                jax.ShapeDtypeStruct((batch, nb_pad, _HEAD_LANES),
+                                     jnp.float32),
+            ],
+            input_output_aliases={9: 0},
+            compiler_params=_compiler_params(
+                ("parallel", "parallel", "arbitrary", "arbitrary")),
+            interpret=interpret_mode(),
+        )(qp, kp, vp, wp, table, brange, lsep, deltap, dop, dq_zero)
+        nb, h_real = w.shape
+        dw = jnp.sum(dw_all, axis=0)[:nb, :h_real].astype(w.dtype)
+        return (dq[:, :, :m_len].astype(q.dtype),
+                dk[:, :, :n_len].astype(k.dtype),
+                dv[:, :, :n_len].astype(v.dtype),
+                dw)
 
     dk, dv, dw_all = pl.pallas_call(
         functools.partial(_bwd_dkv_kernel, **common),

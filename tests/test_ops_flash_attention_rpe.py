@@ -186,3 +186,28 @@ def test_rpe_bf16_table_fwd_bwd():
     gw_ref = jax.grad(loss_ref)(w)
     np.testing.assert_allclose(np.asarray(gw), np.asarray(gw_ref),
                                atol=0.5, rtol=5e-2)
+
+
+@pytest.mark.parametrize("causal,m,n", [(False, 128, 128), (True, 128, 128),
+                                        (False, 96, 160)])
+def test_rpe_fused_bwd_matches_two_pass(monkeypatch, causal, m, n):
+    """FLASHT5_RPE_FUSED_BWD=1 single-sweep backward (dq through an aliased
+    HBM accumulator) must match the two-pass backward exactly."""
+    nb, maxd, scale = 32, 128, 0.125
+    q, k, v, w = _setup(2, 3, m, n, 64, nb, maxd, seed=13)
+
+    def grads(q, k, v, w):
+        def loss(q_, k_, v_, w_):
+            return jnp.sum(flash_attention_rpe(
+                q_, k_, v_, w_, causal=causal, sm_scale=scale,
+                bidirectional=not causal, num_buckets=nb,
+                max_distance=maxd).astype(jnp.float32) ** 2)
+        return jax.grad(loss, argnums=(0, 1, 2, 3))(q, k, v, w)
+
+    monkeypatch.delenv("FLASHT5_RPE_FUSED_BWD", raising=False)
+    ref = grads(q, k, v, w)
+    monkeypatch.setenv("FLASHT5_RPE_FUSED_BWD", "1")
+    fused = grads(q, k, v, w)
+    for a, b, name in zip(fused, ref, ["dq", "dk", "dv", "dw"]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4,
+                                   rtol=1e-4, err_msg=name)

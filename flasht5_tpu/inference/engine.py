@@ -58,6 +58,13 @@ class EngineConfig:
     # Use the fused Pallas decode-attention kernel (ops/decode_attention.py):
     # one pass over the (int8) cache per layer instead of jnp dequant+einsum.
     use_decode_kernel: bool = False
+    # Sampling (inference/sampling.py): temperature <= 0 -> greedy argmax
+    # (the reference generate's behavior, modeling_flash_t5.py:677);
+    # temperature > 0 -> categorical draw with optional top-k / nucleus.
+    temperature: float = 0.0
+    top_k: int = 0
+    top_p: float = 1.0
+    sample_seed: int = 0
 
 
 class KVTensor(typing.NamedTuple):
@@ -129,6 +136,7 @@ class InferenceEngine:
         self._step_fn = jax.jit(self._make_step())
         self._multi_step_fn = jax.jit(self._make_multi_step())
         self._insert_fn = jax.jit(self._make_insert())
+        self._sample_rng = jax.random.PRNGKey(ecfg.sample_seed)
 
     # -- prefill -----------------------------------------------------------
 
@@ -207,7 +215,8 @@ class InferenceEngine:
     def _make_step(self):
         config, ecfg = self.config, self.ecfg
 
-        def step(params, layers, enc_len, pos, cur_token, active, budget):
+        def step(params, layers, enc_len, pos, cur_token, active, budget,
+                 rng):
             """One lockstep decode step for all slots (inactive slots run too
             — their outputs are masked; static shapes keep XLA happy)."""
             b = ecfg.max_slots
@@ -318,7 +327,13 @@ class InferenceEngine:
                 logits = jnp.dot(x, emb.T.astype(x.dtype))
             else:
                 logits = t5._matmul(x, params["lm_head"])
-            nxt = jnp.argmax(logits[:, 0], axis=-1).astype(jnp.int32)
+            if ecfg.temperature > 0.0:
+                from flasht5_tpu.inference.sampling import sample_token
+                nxt = sample_token(rng, logits[:, 0],
+                                   temperature=ecfg.temperature,
+                                   top_k=ecfg.top_k, top_p=ecfg.top_p)
+            else:
+                nxt = jnp.argmax(logits[:, 0], axis=-1).astype(jnp.int32)
 
             budget = jnp.where(active, budget - 1, budget)
             hit_eos = nxt == config.eos_token_id
@@ -336,20 +351,22 @@ class InferenceEngine:
         step = self._make_step()
         k = self.ecfg.steps_per_sync
 
-        def multi(params, layers, enc_len, pos, cur_token, active, budget):
+        def multi(params, layers, enc_len, pos, cur_token, active, budget,
+                  rng):
             def body(carry, _):
-                layers, enc_len, pos, cur_token, active, budget = carry
+                layers, enc_len, pos, cur_token, active, budget, rng = carry
                 was_active = active
+                rng, sub = jax.random.split(rng)
                 (layers, enc_len, pos, cur_token, active, budget, nxt,
                  finished) = step(params, layers, enc_len, pos, cur_token,
-                                  active, budget)
-                return ((layers, enc_len, pos, cur_token, active, budget),
-                        (nxt, finished, was_active))
+                                  active, budget, sub)
+                return ((layers, enc_len, pos, cur_token, active, budget,
+                         rng), (nxt, finished, was_active))
 
             carry, (toks, fins, actives) = jax.lax.scan(
-                body, (layers, enc_len, pos, cur_token, active, budget),
+                body, (layers, enc_len, pos, cur_token, active, budget, rng),
                 None, length=k)
-            return carry, toks, fins, actives   # (k, B) each
+            return carry[:-1], carry[-1], toks, fins, actives   # (k, B) each
 
         return multi
 
@@ -389,9 +406,10 @@ class InferenceEngine:
 
         admit()
         while any(s is not None for s in slots):
-            carry, toks, fins, actives = self._multi_step_fn(
-                self.params, st.layers, st.enc_len, st.pos, st.cur_token,
-                st.active, st.budget)
+            carry, self._sample_rng, toks, fins, actives = \
+                self._multi_step_fn(
+                    self.params, st.layers, st.enc_len, st.pos, st.cur_token,
+                    st.active, st.budget, self._sample_rng)
             (st.layers, st.enc_len, st.pos, st.cur_token, st.active,
              st.budget) = carry
             toks_h = np.asarray(toks)        # (k, B) — one sync per window

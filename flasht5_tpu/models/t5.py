@@ -683,6 +683,38 @@ def greedy_generate(
     Re-runs the decoder over the full prefix each step (the reference's exact
     behavior); the KV-cached engine lives in inference/generate.py.
     """
+    return _generate(config, params, input_ids, attention_mask, max_length,
+                     lambda rng, logits: jnp.argmax(logits, -1).astype(jnp.int32),
+                     jax.random.PRNGKey(0))
+
+
+def sample_generate(
+    config: FlashT5Config,
+    params: Params,
+    input_ids: jnp.ndarray,
+    attention_mask: Optional[jnp.ndarray] = None,
+    max_length: int = 32,
+    *,
+    rng: jax.Array,
+    temperature: float = 1.0,
+    top_k: int = 0,
+    top_p: float = 1.0,
+) -> jnp.ndarray:
+    """Sampling decode with the same start-0 / EOS-1 / pad-after-EOS contract
+    as greedy_generate (the reference ships greedy only; temperature/top-k/
+    nucleus come from inference/sampling.py)."""
+    from flasht5_tpu.inference.sampling import sample_token
+
+    def select(step_rng, logits):
+        return sample_token(step_rng, logits, temperature=temperature,
+                            top_k=top_k, top_p=top_p)
+
+    return _generate(config, params, input_ids, attention_mask, max_length,
+                     select, rng)
+
+
+def _generate(config, params, input_ids, attention_mask, max_length,
+              select_fn, rng) -> jnp.ndarray:
     b = input_ids.shape[0]
     enc = encode(config, params, input_ids, attention_mask)
 
@@ -690,25 +722,27 @@ def greedy_generate(
     # position t generated at step t; buffer position 0 is the start token
 
     def cond(state):
-        labels, t, done = state
+        labels, t, done, rng = state
         return (t < max_length) & jnp.logical_not(done)
 
     def body(state):
-        labels, t, done = state
+        labels, t, done, rng = state
+        rng, sub = jax.random.split(rng)
         out = forward(config, params,
                       attention_mask=attention_mask,
                       decoder_input_ids=labels[:, :-1],
                       encoder_hidden_states=enc)
         logits_t = jax.lax.dynamic_index_in_dim(out["logits"], t, axis=1,
                                                 keepdims=False)
-        nxt = jnp.argmax(logits_t, axis=-1).astype(jnp.int32)
+        nxt = select_fn(sub, logits_t)
         labels = jax.lax.dynamic_update_index_in_dim(labels, nxt, t + 1, axis=1)
         pos = jnp.arange(max_length + 1)[None, :]
         gen = (pos >= 1) & (pos <= t + 1)
         has_eos = jnp.any((labels == config.eos_token_id) & gen, axis=-1)
-        return labels, t + 1, jnp.all(has_eos)
+        return labels, t + 1, jnp.all(has_eos), rng
 
-    labels, t_final, _ = jax.lax.while_loop(cond, body, (labels0, 0, False))
+    labels, t_final, _, _ = jax.lax.while_loop(cond, body,
+                                               (labels0, 0, False, rng))
     out_len = max_length + 1
     labels = labels.at[:, -1].set(jnp.where(t_final == max_length,
                                             config.eos_token_id,

@@ -143,11 +143,12 @@ def _bwd_kernel(logits_ref, labels_ref, lse_ref, dloss_ref, dz_ref,
 
 def _row_block(v: int) -> int:
     # The bwd kernel holds the logits block, the dlogits block, and fp32
-    # temporaries at once — budget ~4MB fp32 per (br, V) buffer (32 rows at
+    # temporaries at once — budget ~2MB fp32 per (br, V) buffer (16 rows at
     # vocab 32768). Round-1 used 1MB (8 rows): at 2048 train rows that was
     # 256 programs whose per-program overhead alone (~2-5us) accounted for
-    # most of the measured 1.16ms CE forward.
-    br = max(1, (4 * 1024 * 1024) // (4 * v))
+    # most of the measured 1.16ms CE forward. 4MB (32 rows) overflows the
+    # 16MB scoped-VMEM limit by 32KB in the bwd (measured on v5e).
+    br = max(1, (2 * 1024 * 1024) // (4 * v))
     b = 8
     while b * 2 <= min(br, 256):
         b *= 2

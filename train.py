@@ -92,9 +92,37 @@ def main(config_path: str):
         seed=int(targs.get("seed", 0)),
         data_parallel=int(targs.get("data_parallel", 1)),
         tensor_parallel=int(targs.get("tensor_parallel", 1)),
+        pipeline_parallel=int(targs.get("pipeline_parallel", 1)),
+        pp_microbatches=int(targs.get("pp_microbatches", 4)),
+        gradient_accumulation_steps=int(
+            targs.get("gradient_accumulation_steps", 1)),
+        kahan_sum=bool(targs.get("kahan_sum", False)),
+        state_dtype=targs.get("state_dtype"),
     )
 
-    trainer = Trainer(model_cfg, tcfg)
+    # tracker integration (reference: ClearML/wandb/codecarbon in its
+    # drivers); YAML: report_to: ["jsonl", "wandb", "clearml", "energy"]
+    callbacks = []
+    for tracker in targs.get("report_to", ["jsonl"]):
+        try:
+            from flasht5_tpu.train import callbacks as cb
+            if tracker == "jsonl":
+                callbacks.append(cb.JSONLCallback(
+                    f"{tcfg.output_dir}/tracker_log.jsonl"))
+            elif tracker == "wandb":
+                callbacks.append(cb.WandbCallback(
+                    project=str(targs.get("project", "flasht5_tpu"))))
+            elif tracker == "clearml":
+                callbacks.append(cb.ClearMLCallback(
+                    project=str(targs.get("project", "flasht5_tpu")),
+                    task_name=str(targs.get("run_name", "pretrain"))))
+            elif tracker == "energy":
+                callbacks.append(cb.EnergyCallback(
+                    out_path=f"{tcfg.output_dir}/energy.json"))
+        except ImportError as e:
+            print(f"tracker {tracker!r} unavailable: {e}")
+
+    trainer = Trainer(model_cfg, tcfg, callbacks=callbacks)
     resume = Trainer.latest_checkpoint(tcfg.output_dir)
     if resume:
         print(f"resuming from {resume}")

@@ -191,8 +191,8 @@ def test_rpe_bf16_table_fwd_bwd():
 @pytest.mark.parametrize("causal,m,n", [(False, 128, 128), (True, 128, 128),
                                         (False, 96, 160)])
 def test_rpe_fused_bwd_matches_two_pass(monkeypatch, causal, m, n):
-    """FLASHT5_RPE_FUSED_BWD=1 single-sweep backward (dq through an aliased
-    HBM accumulator) must match the two-pass backward exactly."""
+    """The default single-sweep backward (dq through an aliased HBM
+    accumulator) must match the FLASHT5_RPE_FUSED_BWD=0 two-pass backward."""
     nb, maxd, scale = 32, 128, 0.125
     q, k, v, w = _setup(2, 3, m, n, 64, nb, maxd, seed=13)
 
@@ -204,7 +204,7 @@ def test_rpe_fused_bwd_matches_two_pass(monkeypatch, causal, m, n):
                 max_distance=maxd).astype(jnp.float32) ** 2)
         return jax.grad(loss, argnums=(0, 1, 2, 3))(q, k, v, w)
 
-    monkeypatch.delenv("FLASHT5_RPE_FUSED_BWD", raising=False)
+    monkeypatch.setenv("FLASHT5_RPE_FUSED_BWD", "0")
     ref = grads(q, k, v, w)
     monkeypatch.setenv("FLASHT5_RPE_FUSED_BWD", "1")
     fused = grads(q, k, v, w)

@@ -163,29 +163,50 @@ def _paged_kernel(pt_ref, len_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref,
     # skip pages entirely past this slot's length
     @pl.when(j * page_size < length)
     def _compute():
+        # per-head MXU matvecs, dequant scales folded in after the
+        # contraction — same design as ops/decode_attention._kernel (the
+        # broadcast multiply+reduce form was lane-hostile and ~6x off the
+        # int8-read roofline at long caches, docs/decode_crossover.json)
+        nh = q_ref.shape[1]
         q = q_ref[0].astype(jnp.float32)                  # (H, D)
-        k = k_ref[0].astype(jnp.float32)                  # (H, P, D)
-        v = v_ref[0].astype(jnp.float32)
-        if quantized:
-            k = k * ks_ref[0]
-            v = v * vs_ref[0]
-        s = jnp.sum(q[:, None, :] * k, axis=-1) * sm_scale    # (H, P)
+        cdt = (jnp.float32 if k_ref.dtype == jnp.float32
+               and q_ref.dtype == jnp.float32 else jnp.bfloat16)
+        s_cols = []
+        for hh in range(nh):
+            sh = jax.lax.dot_general(
+                k_ref[0, hh].astype(cdt), q[hh][:, None].astype(cdt),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)       # (P, 1)
+            if quantized:
+                sh = sh * ks_ref[0, hh]
+            s_cols.append(sh)
+        s = jnp.concatenate(s_cols, axis=1) * sm_scale    # (P, H)
         if has_bias:
-            s = s + bias_ref[0, 0].astype(jnp.float32)        # (H, P)
-        pos = j * page_size + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            s = s + bias_ref[0, 0].astype(jnp.float32).T
+        pos = j * page_size + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
         s = jnp.where(pos < length, s, _NEG_INF)
 
-        m_prev = m_scr[...]
-        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+        m_prev = m_scr[...]                               # (1, H)
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=0, keepdims=True))
         alpha = jnp.exp(m_prev - m_new)
         p = jnp.where(pos < length, jnp.exp(s - m_new), 0.0)
-        l_scr[...] = l_scr[...] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        l_scr[...] = l_scr[...] * alpha + jnp.sum(p, axis=0, keepdims=True)
         m_scr[...] = m_new
-        acc_scr[...] = acc_scr[...] * alpha + jnp.sum(p[:, :, None] * v, axis=1)
+        pv_rows = []
+        for hh in range(nh):
+            ph = p[:, hh:hh + 1]
+            if quantized:
+                ph = ph * vs_ref[0, hh]
+            pv_rows.append(jax.lax.dot_general(
+                ph.astype(cdt), v_ref[0, hh].astype(cdt),
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32))      # (1, D)
+        acc_scr[...] = (acc_scr[...] * alpha.T
+                        + jnp.concatenate(pv_rows, axis=0))
 
     @pl.when(j == n_pages - 1)
     def _finalize():
-        l = l_scr[...]
+        l = l_scr[...].T                                  # (H, 1)
         l_safe = jnp.where(l > 0.0, l, 1.0)
         o_ref[0] = (acc_scr[...] / l_safe).astype(o_ref.dtype)
 
@@ -247,8 +268,8 @@ def paged_decode_attention_arrays(q, pages_k, pages_v, scales_k, scales_v,
         out_specs=pl.BlockSpec((1, h, d), lambda bb, jj, pt, ln: (bb, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((h, 1), jnp.float32),
-            pltpu.VMEM((h, 1), jnp.float32),
+            pltpu.VMEM((1, h), jnp.float32),
+            pltpu.VMEM((1, h), jnp.float32),
             pltpu.VMEM((h, d), jnp.float32),
         ],
     )

@@ -50,10 +50,12 @@ def decode_attention_ref(q, k, v, k_scales=None, v_scales=None,
 
 def _kernel(len_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, bias_ref, o_ref,
             m_scr, l_scr, acc_scr, *,
-            sm_scale, chunk, L, quantized, has_bias, has_lengths):
+            sm_scale, chunk, L, quantized, has_bias, has_lengths,
+            compute_dtype):
     slot = pl.program_id(0)
     j = pl.program_id(1)
     n_chunks = pl.num_programs(1)
+    nh = q_ref.shape[1]
 
     @pl.when(j == 0)
     def _init():
@@ -61,36 +63,58 @@ def _kernel(len_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, bias_ref, o_ref,
         l_scr[...] = jnp.zeros_like(l_scr)
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
+    # Per-head MXU matvecs with the dequant scales folded in AFTER the
+    # contraction (k scales are per cache row, so (k_int8 @ q) * ks ==
+    # (k_int8 * ks) @ q), collapsing dequant from O(C*D) VPU work to O(C).
+    # A first version did the whole chunk as a broadcast multiply+reduce over
+    # the minor D=64 dim — lane-hostile (half the VPU idle, cross-lane
+    # reductions per element) and measured ~6x off the int8-read roofline at
+    # L=2048 (docs/decode_crossover.json); the matvec form keeps the O(C*D)
+    # math on the MXU. int8 values are exact in bf16, so int8 caches ride
+    # the bf16 MXU path.
     q = q_ref[0].astype(jnp.float32)                       # (H, D)
-    k = k_ref[0].astype(jnp.float32)                       # (H, C, D)
-    v = v_ref[0].astype(jnp.float32)
-    if quantized:
-        k = k * ks_ref[0]
-        v = v * vs_ref[0]
-
-    # per-head matvec as broadcast multiply+reduce (VPU; a matvec can't fill
-    # the MXU and Mosaic can't lower batched dot_general with a 2D lhs —
-    # decode is HBM-bound, so the VPU form is already at the roofline)
-    s = jnp.sum(q[:, None, :] * k, axis=-1) * sm_scale     # (H, C)
+    s_cols = []
+    for hh in range(nh):
+        sh = jax.lax.dot_general(
+            k_ref[0, hh].astype(compute_dtype),
+            q[hh][:, None].astype(compute_dtype),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)            # (C, 1)
+        if quantized:
+            sh = sh * ks_ref[0, hh]
+        s_cols.append(sh)
+    s = jnp.concatenate(s_cols, axis=1) * sm_scale         # (C, H)
     if has_bias:
-        s = s + bias_ref[0].astype(jnp.float32)
-    pos = j * chunk + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = s + bias_ref[0].astype(jnp.float32).T
+    pos = j * chunk + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
     valid = pos < L
     if has_lengths:
         valid = pos < len_ref[slot, 0]
     s = jnp.where(valid, s, _NEG_INF)
 
-    m_prev = m_scr[...]
-    m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+    m_prev = m_scr[...]                                    # (1, H)
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=0, keepdims=True))
     alpha = jnp.exp(m_prev - m_new)
-    p = jnp.where(valid, jnp.exp(s - m_new), 0.0)
-    l_scr[...] = l_scr[...] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+    p = jnp.where(valid, jnp.exp(s - m_new), 0.0)          # (C, H)
+    l_scr[...] = l_scr[...] * alpha + jnp.sum(p, axis=0, keepdims=True)
     m_scr[...] = m_new
-    acc_scr[...] = acc_scr[...] * alpha + jnp.sum(p[:, :, None] * v, axis=1)
+
+    pv_rows = []
+    for hh in range(nh):
+        ph = p[:, hh:hh + 1]
+        if quantized:
+            ph = ph * vs_ref[0, hh]                        # fold v scales
+        pv_rows.append(jax.lax.dot_general(
+            ph.astype(compute_dtype),
+            v_ref[0, hh].astype(compute_dtype),
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32))           # (1, D)
+    pv = jnp.concatenate(pv_rows, axis=0)                  # (H, D)
+    acc_scr[...] = acc_scr[...] * alpha.T + pv
 
     @pl.when(j == n_chunks - 1)
     def _finalize():
-        l = l_scr[...]
+        l = l_scr[...].T                                   # (H, 1)
         l_safe = jnp.where(l > 0.0, l, 1.0)
         o_ref[0] = (acc_scr[...] / l_safe).astype(o_ref.dtype)
 
@@ -155,9 +179,16 @@ def decode_attention(q, k, v, k_scales=None, v_scales=None, lengths=None,
          pl.BlockSpec((1, 1, 1), lambda i, j: (0, 0, 0),
                       memory_space=pltpu.VMEM)),
     ]
+    # int8 is exact in bf16; fp32 caches with fp32 queries keep an fp32 MXU
+    # path (multi-pass, but bit-faithful to the oracle)
+    if k.dtype == jnp.float32 and q.dtype == jnp.float32:
+        compute_dtype = jnp.float32
+    else:
+        compute_dtype = jnp.bfloat16
     kern = functools.partial(_kernel, sm_scale=sm_scale, chunk=chunk, L=L,
                              quantized=quantized, has_bias=has_bias,
-                             has_lengths=has_lengths)
+                             has_lengths=has_lengths,
+                             compute_dtype=compute_dtype)
     return pl.pallas_call(
         kern, grid=(b, n_chunks),
         in_specs=in_specs,
@@ -165,8 +196,8 @@ def decode_attention(q, k, v, k_scales=None, v_scales=None, lengths=None,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, h, d), q.dtype),
         scratch_shapes=[
-            pltpu.VMEM((h, 1), jnp.float32),
-            pltpu.VMEM((h, 1), jnp.float32),
+            pltpu.VMEM((1, h), jnp.float32),
+            pltpu.VMEM((1, h), jnp.float32),
             pltpu.VMEM((h, d), jnp.float32),
         ],
         interpret=interpret_mode(),

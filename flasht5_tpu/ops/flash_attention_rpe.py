@@ -113,6 +113,44 @@ def _bias_from_buckets(bucket, w_ref, h, num_buckets):
 # Forward
 # ---------------------------------------------------------------------------
 
+def _fwd_kernel_nj1(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, *,
+                    sm_scale, causal, m_len, n_len, block_m, block_n):
+    """Single-KV-tile forward with a batch-innermost grid (h, i, b).
+
+    When the whole KV sequence fits one (block_n) tile — the common training
+    case at S<=1024 with 1024-wide tiles — flash accumulation over j is a
+    single iteration, so no revolving scratch is needed and the softmax is
+    computed directly. The payoff is the grid order: the (block_m, block_n)
+    bias tile's index depends only on (i, h), so with b innermost the Pallas
+    pipeline elides its copy across the whole batch sweep, cutting the
+    dominant bias HBM stream by ~batch x (the offset-table stream measured
+    ~14 ms/step of pure bias traffic at batch 8 under the (b,h,i,j) order).
+    """
+    i = pl.program_id(1)
+    q = q_ref[0, 0]
+    k = k_ref[0, 0]
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * sm_scale
+    s = s + bias_ref[0, 0]
+    rows = i * block_m + jax.lax.broadcasted_iota(
+        jnp.int32, (block_m, block_n), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (block_m, block_n), 1)
+    mask = cols < n_len
+    if causal:
+        mask = mask & (cols <= rows + (n_len - m_len))
+    s = jnp.where(mask, s, _NEG_INF)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    m_safe = jnp.where(m > _NEG_INF / 2, m, 0.0)
+    p = jnp.where(mask, jnp.exp(s - m_safe), 0.0)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    l_safe = jnp.where(l > 0.0, l, 1.0)
+    pv = jax.lax.dot_general(p.astype(v_ref.dtype), v_ref[0, 0],
+                             (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    o_ref[0, 0] = (pv / l_safe).astype(o_ref.dtype)
+    lse_ref[0, 0] = jnp.where(l > 0.0, m_safe + jnp.log(l_safe), _NEG_INF)
+
+
 def _fwd_kernel(q_ref, k_ref, v_ref, w_ref, o_ref, lse_ref,
                 m_scr, l_scr, acc_scr, *,
                 sm_scale, causal, bidirectional, num_buckets, max_distance,
@@ -241,6 +279,48 @@ def _fwd(q, k, v, w, causal, sm_scale, bidirectional, num_buckets,
             w, mp, np_, block_m, block_n, bidirectional=bidirectional,
             num_buckets=num_buckets, max_distance=max_distance,
             dtype=_table_dtype(q.dtype))
+        if (n_j == 1
+                and _os.environ.get("FLASHT5_RPE_FWD_RESIDENT", "1") != "0"):
+            # batch-innermost resident-bias specialization (see kernel doc)
+            o, lse = pl.pallas_call(
+                functools.partial(
+                    _fwd_kernel_nj1, sm_scale=sm_scale, causal=causal,
+                    m_len=m_len, n_len=n_len, block_m=block_m,
+                    block_n=block_n),
+                grid=(heads, n_i, batch),
+                in_specs=[
+                    pl.BlockSpec((1, 1, block_m, d),
+                                 lambda h, i, b: (b, h, i, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, 1, block_n, d),
+                                 lambda h, i, b: (b, h, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, 1, block_n, d),
+                                 lambda h, i, b: (b, h, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec(
+                        (1, 1, block_m, block_n),
+                        lambda h, i, b: (
+                            (-i * block_m - t_min) // g_off, h, 0, 0),
+                        memory_space=pltpu.VMEM),
+                ],
+                out_specs=[
+                    pl.BlockSpec((1, 1, block_m, d),
+                                 lambda h, i, b: (b, h, i, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, 1, block_m, 1),
+                                 lambda h, i, b: (b, h, i, 0),
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_shape=[
+                    jax.ShapeDtypeStruct(qp.shape, q.dtype),
+                    jax.ShapeDtypeStruct((batch, heads, mp, 1), jnp.float32),
+                ],
+                compiler_params=_compiler_params(
+                    ("parallel", "arbitrary", "arbitrary")),
+                interpret=interpret_mode(),
+            )(qp, kp, vp, table)
+            return o[:, :, :m_len], lse[:, :, :m_len, 0]
         kern = functools.partial(
             _fa_bias_fwd_kernel, sm_scale=sm_scale, causal=causal,
             m_len=m_len, n_len=n_len, block_m=block_m, block_n=block_n,
@@ -495,6 +575,84 @@ def _bwd_fused_kernel(q_ref, k_ref, v_ref, w_ref, bias_ref, brange_ref,
             dq_ref[0, 0] = dq_acc
 
 
+def _bwd_fused_kernel_nj1(q_ref, k_ref, v_ref, bias_ref, lse_ref, delta_ref,
+                          do_ref, dq_ref, dk_ref, dv_ref, dw_ref,
+                          dk_scr, dv_scr, *,
+                          sm_scale, causal, bidirectional, num_buckets,
+                          max_distance, m_len, n_len, block_m, block_n):
+    """Single-KV-tile fused backward, batch-innermost grid (h, i, b).
+
+    Same residency argument as _fwd_kernel_nj1: the bias tile index depends
+    only on (i, h), so with b innermost its copy is elided across the batch
+    sweep. With a single KV tile, dq is complete after one visit (no aliased
+    HBM accumulation), dk/dv accumulate over i in a (batch,)-indexed VMEM
+    scratch (their output blocks change every inner step, so they cannot be
+    the accumulator), and dW accumulates directly in its output block, whose
+    index is constant for the whole grid.
+    """
+    h = pl.program_id(0)
+    i = pl.program_id(1)
+    b = pl.program_id(2)
+
+    @pl.when((i == 0) & (b == 0))
+    def _init_kv():
+        dk_scr[...] = jnp.zeros_like(dk_scr)
+        dv_scr[...] = jnp.zeros_like(dv_scr)
+
+    @pl.when((h == 0) & (i == 0) & (b == 0))
+    def _init_w():
+        dw_ref[...] = jnp.zeros_like(dw_ref)
+
+    q = q_ref[0, 0]
+    k = k_ref[0, 0]
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * sm_scale
+    s = s + bias_ref[0, 0]
+    bucket = _bucket_tile(i, 0, block_m, block_n,
+                          bidirectional=bidirectional,
+                          num_buckets=num_buckets,
+                          max_distance=max_distance)
+    rows = i * block_m + jax.lax.broadcasted_iota(
+        jnp.int32, (block_m, block_n), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (block_m, block_n), 1)
+    mask = (cols < n_len) & (rows < m_len)
+    if causal:
+        mask = mask & (cols <= rows + (n_len - m_len))
+
+    lse = lse_ref[0, 0]
+    lse_ok = lse > _NEG_INF / 2
+    p = jnp.where(mask & lse_ok, jnp.exp(s - jnp.where(lse_ok, lse, 0.0)),
+                  0.0)
+
+    do = do_ref[0, 0]
+    dp = jax.lax.dot_general(do, v_ref[0, 0], (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    g = p * (dp - delta_ref[0, 0])
+
+    dv_new = dv_scr[b] + jax.lax.dot_general(
+        p.astype(do_ref.dtype), do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dk_new = dk_scr[b] + jax.lax.dot_general(
+        g.astype(q_ref.dtype), q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) * sm_scale
+    dv_scr[b] = dv_new
+    dk_scr[b] = dk_new
+    # unconditional flush: (b, h) output blocks are revisited at every i, so
+    # each visit writes the running sum and the final (i = n_i - 1) write,
+    # last in the sequential grid, wins in HBM
+    dk_ref[0, 0] = dk_new
+    dv_ref[0, 0] = dv_new
+
+    dq_ref[0, 0] = jax.lax.dot_general(
+        g.astype(k_ref.dtype), k, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) * sm_scale
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, _HEAD_LANES), 1)
+    for bkt in range(num_buckets):
+        s_b = jnp.sum(jnp.where(bucket == bkt, g, 0.0))
+        dw_ref[0, bkt:bkt + 1, :] += jnp.where(lane == h, s_b, 0.0)
+
+
 def _bwd_dq_kernel(q_ref, k_ref, v_ref, w_ref, bias_ref, brange_ref, lse_ref,
                    delta_ref, do_ref, dq_ref, *, sm_scale, causal,
                    bidirectional, num_buckets, max_distance, m_len, n_len,
@@ -611,7 +769,81 @@ def _bwd(q, k, v, w, causal, sm_scale, bidirectional, num_buckets,
     # Default ON: the single-sweep backward measured 111.7k tok/s vs 105.1k
     # for the two-pass backward on a full fat5-small train step (v5e, round 2
     # on-chip A/B).  Set FLASHT5_RPE_FUSED_BWD=0 to fall back to two-pass.
-    if _os.environ.get("FLASHT5_RPE_FUSED_BWD", "1") != "0":
+    fused = _os.environ.get("FLASHT5_RPE_FUSED_BWD", "1") != "0"
+
+    # batch-innermost resident-bias specialization (see _bwd_fused_kernel_nj1)
+    # gated on the dk/dv scratch fitting comfortably in scoped VMEM
+    if (fused and use_table and n_j == 1
+            and _os.environ.get("FLASHT5_RPE_FWD_RESIDENT", "1") != "0"
+            and 2 * batch * block_n * d * 4 <= 8 * 1024 * 1024):
+        nb_j1 = max(8, ((w.shape[0] + 7) // 8) * 8)
+        dq, dk, dv, dw_all = pl.pallas_call(
+            functools.partial(
+                _bwd_fused_kernel_nj1, sm_scale=sm_scale, causal=causal,
+                bidirectional=bidirectional, num_buckets=num_buckets,
+                max_distance=max_distance, m_len=m_len, n_len=n_len,
+                block_m=block_m, block_n=block_n),
+            grid=(heads, mp // block_m, batch),
+            in_specs=[
+                pl.BlockSpec((1, 1, block_m, d),
+                             lambda h, i, b: (b, h, i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, block_n, d),
+                             lambda h, i, b: (b, h, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, block_n, d),
+                             lambda h, i, b: (b, h, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, block_m, block_n),
+                             lambda h, i, b: (
+                                 (-i * block_m - t_min) // g_off, h, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, block_m, 1),
+                             lambda h, i, b: (b, h, i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, block_m, 1),
+                             lambda h, i, b: (b, h, i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, block_m, d),
+                             lambda h, i, b: (b, h, i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, 1, block_m, d),
+                             lambda h, i, b: (b, h, i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, block_n, d),
+                             lambda h, i, b: (b, h, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, block_n, d),
+                             lambda h, i, b: (b, h, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, nb_j1, _HEAD_LANES),
+                             lambda h, i, b: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct(qp.shape, jnp.float32),
+                jax.ShapeDtypeStruct(kp.shape, jnp.float32),
+                jax.ShapeDtypeStruct(vp.shape, jnp.float32),
+                jax.ShapeDtypeStruct((1, nb_j1, _HEAD_LANES), jnp.float32),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((batch, block_n, d), jnp.float32),
+                pltpu.VMEM((batch, block_n, d), jnp.float32),
+            ],
+            compiler_params=_compiler_params(
+                ("arbitrary", "arbitrary", "arbitrary")),
+            interpret=interpret_mode(),
+        )(qp, kp, vp, table, lsep, deltap, dop)
+        nb, h_real = w.shape
+        dw = dw_all[0, :nb, :h_real].astype(w.dtype)
+        return (dq[:, :, :m_len].astype(q.dtype),
+                dk[:, :, :n_len].astype(k.dtype),
+                dv[:, :, :n_len].astype(v.dtype),
+                dw)
+
+    if fused:
         # single-sweep backward: p computed once per tile, dq accumulated
         # through an aliased HBM buffer (see _bwd_fused_kernel)
         dq_zero = jnp.zeros(qp.shape, jnp.float32)

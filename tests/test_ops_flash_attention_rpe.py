@@ -211,3 +211,32 @@ def test_rpe_fused_bwd_matches_two_pass(monkeypatch, causal, m, n):
     for a, b, name in zip(fused, ref, ["dq", "dk", "dv", "dw"]):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4,
                                    rtol=1e-4, err_msg=name)
+
+
+@pytest.mark.parametrize("causal,m,n", [(False, 128, 128), (True, 128, 128),
+                                        (False, 96, 160), (True, 70, 133)])
+def test_rpe_fwd_resident_matches_scratch_path(monkeypatch, causal, m, n):
+    """The default batch-innermost resident-bias forward (n_j==1
+    specialization) must match the FLASHT5_RPE_FWD_RESIDENT=0 revolving
+    scratch forward: outputs and all four gradients."""
+    nb, maxd, scale = 32, 128, 0.125
+    q, k, v, w = _setup(2, 3, m, n, 64, nb, maxd, seed=7)
+
+    def vals_and_grads(q, k, v, w):
+        def loss(q_, k_, v_, w_):
+            return jnp.sum(flash_attention_rpe(
+                q_, k_, v_, w_, causal=causal, sm_scale=scale,
+                bidirectional=not causal, num_buckets=nb,
+                max_distance=maxd).astype(jnp.float32) ** 2)
+        out = flash_attention_rpe(q, k, v, w, causal=causal, sm_scale=scale,
+                                  bidirectional=not causal, num_buckets=nb,
+                                  max_distance=maxd)
+        return (out,) + jax.grad(loss, argnums=(0, 1, 2, 3))(q, k, v, w)
+
+    monkeypatch.setenv("FLASHT5_RPE_FWD_RESIDENT", "0")
+    ref = vals_and_grads(q, k, v, w)
+    monkeypatch.setenv("FLASHT5_RPE_FWD_RESIDENT", "1")
+    res = vals_and_grads(q, k, v, w)
+    for a, b, name in zip(res, ref, ["o", "dq", "dk", "dv", "dw"]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5,
+                                   rtol=1e-5, err_msg=name)

@@ -66,17 +66,11 @@ def _table_dtype(q_dtype):
 _HEAD_LANES = 128  # lane width of the in-kernel weight / dweight tiles
 
 
-def _bucket_tile(i, j, block_m, block_n, *, bidirectional, num_buckets,
-                 max_distance, q_offset=0, k_offset=0):
-    """(BM, BN) int32 bucket indices for tile (i, j).
+def _bucket_of(rel, *, bidirectional, num_buckets, max_distance):
+    """Bucket indices for a (traced) int32 relative-position array.
 
-    Same math as positional.relative_position_bucket, on tile-local iotas.
+    Same math as positional.relative_position_bucket.
     """
-    rows = i * block_m + q_offset + jax.lax.broadcasted_iota(
-        jnp.int32, (block_m, block_n), 0)
-    cols = j * block_n + k_offset + jax.lax.broadcasted_iota(
-        jnp.int32, (block_m, block_n), 1)
-    rel = cols - rows
     nb = num_buckets
     out = jnp.zeros_like(rel)
     if bidirectional:
@@ -95,6 +89,17 @@ def _bucket_tile(i, j, block_m, block_n, *, bidirectional, num_buckets,
     return out + jnp.where(is_small, rel, large)
 
 
+def _bucket_tile(i, j, block_m, block_n, *, bidirectional, num_buckets,
+                 max_distance, q_offset=0, k_offset=0):
+    """(BM, BN) int32 bucket indices for tile (i, j), on tile-local iotas."""
+    rows = i * block_m + q_offset + jax.lax.broadcasted_iota(
+        jnp.int32, (block_m, block_n), 0)
+    cols = j * block_n + k_offset + jax.lax.broadcasted_iota(
+        jnp.int32, (block_m, block_n), 1)
+    return _bucket_of(cols - rows, bidirectional=bidirectional,
+                      num_buckets=num_buckets, max_distance=max_distance)
+
+
 def _bias_from_buckets(bucket, w_ref, h, num_buckets):
     """bias (BM, BN) = w[bucket, h] via an unrolled per-bucket select chain.
 
@@ -107,6 +112,64 @@ def _bias_from_buckets(bucket, w_ref, h, num_buckets):
         w_b = w_ref[b, h]
         bias = bias + jnp.where(bucket == b, w_b, 0.0)
     return bias
+
+
+def _dw_mode():
+    """dW accumulation strategy (read at trace time).
+
+    "diag" (default): anti-diagonal skew reduction — log2(BM) lane-rolls +
+    one sublane reduction + a select chain over the BM+BN-1 diagonals.
+    Within a tile the bucket depends only on jj-ii, so per-diagonal sums of
+    the score gradient carry everything the bucket gradient needs; this
+    replaces NB full-(BM,BN) compare+select+add sweeps (~NB*3*BM*BN VPU ops,
+    the dominant backward cost at NB=32) with ~2*log2(BM)*BM*(BM+BN).
+    "chain": the per-bucket full-tile reduction (round-1 form).
+    "skip": no dW (timing diagnostics ONLY — gradients are wrong).
+    """
+    return _os.environ.get("FLASHT5_RPE_DW_MODE", "diag")
+
+
+def _dw_accum(dw_ref, g, h, i, j, *, mode, block_m, block_n, bidirectional,
+              num_buckets, max_distance):
+    """Accumulate the bucket-weight gradient of one (i, j) tile into head-h's
+    lane of the resident (NB, LANES) accumulator. g must already be zero on
+    masked/padded elements."""
+    if mode == "skip":
+        return
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, _HEAD_LANES), 1)
+    if mode == "chain":
+        bucket = _bucket_tile(i, j, block_m, block_n,
+                              bidirectional=bidirectional,
+                              num_buckets=num_buckets,
+                              max_distance=max_distance)
+        for bkt in range(num_buckets):
+            s_b = jnp.sum(jnp.where(bucket == bkt, g, 0.0))
+            dw_ref[0, bkt:bkt + 1, :] += jnp.where(lane == h, s_b, 0.0)
+        return
+
+    # mode == "diag": skew so diagonal d = jj - ii of g lands in column
+    # d + BM - 1, then reduce over rows. Row ii must shift right by
+    # (BM-1-ii); decompose the per-row shift as a static right-roll by BM-1
+    # after log2(BM) conditional left-rolls (rows with bit k of ii set roll
+    # left by 2^k). No wraparound: final columns span [0, BM+BN-2] and the
+    # width is padded to a lane multiple >= BM+BN-1.
+    w_cols = ((block_m + block_n + 127) // 128) * 128
+    skew = jnp.pad(g, ((0, 0), (0, w_cols - block_n)))
+    rows = jax.lax.broadcasted_iota(jnp.int32, skew.shape, 0)
+    k = 1
+    while k < block_m:
+        rolled = jnp.roll(skew, -k, axis=1)
+        skew = jnp.where((rows & k) != 0, rolled, skew)
+        k *= 2
+    skew = jnp.roll(skew, block_m - 1, axis=1)
+    ds = jnp.sum(skew, axis=0, keepdims=True)              # (1, W)
+    rel = (j * block_n - i * block_m - (block_m - 1)
+           + jax.lax.broadcasted_iota(jnp.int32, ds.shape, 1))
+    bucket_d = _bucket_of(rel, bidirectional=bidirectional,
+                          num_buckets=num_buckets, max_distance=max_distance)
+    for bkt in range(num_buckets):
+        s_b = jnp.sum(jnp.where(bucket_d == bkt, ds, 0.0))
+        dw_ref[0, bkt:bkt + 1, :] += jnp.where(lane == h, s_b, 0.0)
 
 
 # ---------------------------------------------------------------------------
@@ -408,7 +471,8 @@ def _fwd(q, k, v, w, causal, sm_scale, bidirectional, num_buckets,
 def _bwd_dkv_kernel(q_ref, k_ref, v_ref, w_ref, bias_ref, brange_ref, lse_ref,
                     delta_ref, do_ref, dk_ref, dv_ref, dw_ref, *,
                     sm_scale, causal, bidirectional, num_buckets, max_distance,
-                    m_len, n_len, block_m, block_n, use_table, g_off, t_min):
+                    m_len, n_len, block_m, block_n, use_table, g_off, t_min,
+                    dw_mode):
     h = pl.program_id(1)
     j = pl.program_id(2)
     i = pl.program_id(3)
@@ -432,14 +496,15 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, w_ref, bias_ref, brange_ref, lse_ref,
         k = k_ref[0, 0]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) * sm_scale
-        bucket = _bucket_tile(i, j, block_m, block_n,
-                              bidirectional=bidirectional,
-                              num_buckets=num_buckets,
-                              max_distance=max_distance)
         if use_table:
             s = s + bias_ref[0, 0]
         else:
-            s = s + _bias_from_buckets(bucket, w_ref, h, num_buckets)
+            s = s + _bias_from_buckets(
+                _bucket_tile(i, j, block_m, block_n,
+                             bidirectional=bidirectional,
+                             num_buckets=num_buckets,
+                             max_distance=max_distance),
+                w_ref, h, num_buckets)
         rows = i * block_m + jax.lax.broadcasted_iota(jnp.int32, (block_m, block_n), 0)
         cols = j * block_n + jax.lax.broadcasted_iota(jnp.int32, (block_m, block_n), 1)
         mask = (cols < n_len) & (rows < m_len)
@@ -462,29 +527,14 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, w_ref, bias_ref, brange_ref, lse_ref,
             g.astype(q_ref.dtype), q_ref[0, 0], (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32) * sm_scale
 
-        # bucket-weight gradient: per-bucket scalar sums of g, written to
-        # head-h's lane of a resident per-batch (NB, LANES) accumulator tile.
-        # The loop is bounded by the tile's [bucket_min, bucket_max] range
-        # (SMEM table, per tile offset): log bucketing means tiles far from
-        # the diagonal span only 1-2 buckets, so most of the 32 per-bucket
-        # full-tile reductions are skipped dynamically.
-        lane = jax.lax.broadcasted_iota(jnp.int32, (1, _HEAD_LANES), 1)
-        if use_table:
-            o_idx = (j * block_n - i * block_m - t_min) // g_off
-            bmin = brange_ref[o_idx, 0]
-            bmax = brange_ref[o_idx, 1]
-        else:
-            bmin, bmax = 0, num_buckets - 1
-
-        # NOTE: a per-bucket @pl.when guarded by [bmin, bmax] measured 25%
-        # SLOWER end-to-end than this straight-line form (76k vs 102k tok/s
-        # full-step): Mosaic's predication costs more than the skipped
-        # reductions save. The masked-sum chain stays unconditional; the
-        # range instead WIDENS nothing — it selects a zero contribution.
-        del bmin, bmax
-        for bkt in range(num_buckets):
-            s_b = jnp.sum(jnp.where(bucket == bkt, g, 0.0))
-            dw_ref[0, bkt:bkt + 1, :] += jnp.where(lane == h, s_b, 0.0)
+        # bucket-weight gradient into head-h's lane of a resident per-batch
+        # (NB, LANES) accumulator tile. (A per-bucket @pl.when bounded by the
+        # tile's SMEM bucket range measured 25% SLOWER than straight-line
+        # code — Mosaic predication costs more than skipped reductions save;
+        # the "diag" skew mode is the real fix.)
+        _dw_accum(dw_ref, g, h, i, j, mode=dw_mode, block_m=block_m,
+                  block_n=block_n, bidirectional=bidirectional,
+                  num_buckets=num_buckets, max_distance=max_distance)
 
 
 def _bwd_fused_kernel(q_ref, k_ref, v_ref, w_ref, bias_ref, brange_ref,
@@ -492,7 +542,7 @@ def _bwd_fused_kernel(q_ref, k_ref, v_ref, w_ref, bias_ref, brange_ref,
                       dq_ref, dk_ref, dv_ref, dw_ref, *,
                       sm_scale, causal, bidirectional, num_buckets,
                       max_distance, m_len, n_len, block_m, block_n,
-                      use_table, g_off, t_min):
+                      use_table, g_off, t_min, dw_mode):
     """Single-sweep backward: grid (b, h, j, i) with i innermost.
 
     Computes p = exp(s - lse) ONCE per (i, j) tile and produces all four
@@ -531,14 +581,15 @@ def _bwd_fused_kernel(q_ref, k_ref, v_ref, w_ref, bias_ref, brange_ref,
         k = k_ref[0, 0]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) * sm_scale
-        bucket = _bucket_tile(i, j, block_m, block_n,
-                              bidirectional=bidirectional,
-                              num_buckets=num_buckets,
-                              max_distance=max_distance)
         if use_table:
             s = s + bias_ref[0, 0]
         else:
-            s = s + _bias_from_buckets(bucket, w_ref, h, num_buckets)
+            s = s + _bias_from_buckets(
+                _bucket_tile(i, j, block_m, block_n,
+                             bidirectional=bidirectional,
+                             num_buckets=num_buckets,
+                             max_distance=max_distance),
+                w_ref, h, num_buckets)
         rows = i * block_m + jax.lax.broadcasted_iota(jnp.int32, (block_m, block_n), 0)
         cols = j * block_n + jax.lax.broadcasted_iota(jnp.int32, (block_m, block_n), 1)
         mask = (cols < n_len) & (rows < m_len)
@@ -564,10 +615,9 @@ def _bwd_fused_kernel(q_ref, k_ref, v_ref, w_ref, bias_ref, brange_ref,
             g.astype(k_ref.dtype), k, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32) * sm_scale
 
-        lane = jax.lax.broadcasted_iota(jnp.int32, (1, _HEAD_LANES), 1)
-        for bkt in range(num_buckets):
-            s_b = jnp.sum(jnp.where(bucket == bkt, g, 0.0))
-            dw_ref[0, bkt:bkt + 1, :] += jnp.where(lane == h, s_b, 0.0)
+        _dw_accum(dw_ref, g, h, i, j, mode=dw_mode, block_m=block_m,
+                  block_n=block_n, bidirectional=bidirectional,
+                  num_buckets=num_buckets, max_distance=max_distance)
 
     if causal:
         @pl.when(jnp.logical_not(run))
@@ -579,7 +629,8 @@ def _bwd_fused_kernel_nj1(q_ref, k_ref, v_ref, bias_ref, lse_ref, delta_ref,
                           do_ref, dq_ref, dk_ref, dv_ref, dw_ref,
                           dk_scr, dv_scr, *,
                           sm_scale, causal, bidirectional, num_buckets,
-                          max_distance, m_len, n_len, block_m, block_n):
+                          max_distance, m_len, n_len, block_m, block_n,
+                          dw_mode):
     """Single-KV-tile fused backward, batch-innermost grid (h, i, b).
 
     Same residency argument as _fwd_kernel_nj1: the bias tile index depends
@@ -608,10 +659,6 @@ def _bwd_fused_kernel_nj1(q_ref, k_ref, v_ref, bias_ref, lse_ref, delta_ref,
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32) * sm_scale
     s = s + bias_ref[0, 0]
-    bucket = _bucket_tile(i, 0, block_m, block_n,
-                          bidirectional=bidirectional,
-                          num_buckets=num_buckets,
-                          max_distance=max_distance)
     rows = i * block_m + jax.lax.broadcasted_iota(
         jnp.int32, (block_m, block_n), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (block_m, block_n), 1)
@@ -647,16 +694,16 @@ def _bwd_fused_kernel_nj1(q_ref, k_ref, v_ref, bias_ref, lse_ref, delta_ref,
         g.astype(k_ref.dtype), k, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32) * sm_scale
 
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, _HEAD_LANES), 1)
-    for bkt in range(num_buckets):
-        s_b = jnp.sum(jnp.where(bucket == bkt, g, 0.0))
-        dw_ref[0, bkt:bkt + 1, :] += jnp.where(lane == h, s_b, 0.0)
+    _dw_accum(dw_ref, g, h, i, 0, mode=dw_mode, block_m=block_m,
+              block_n=block_n, bidirectional=bidirectional,
+              num_buckets=num_buckets, max_distance=max_distance)
 
 
 def _bwd_dq_kernel(q_ref, k_ref, v_ref, w_ref, bias_ref, brange_ref, lse_ref,
                    delta_ref, do_ref, dq_ref, *, sm_scale, causal,
                    bidirectional, num_buckets, max_distance, m_len, n_len,
-                   block_m, block_n, use_table, g_off, t_min):
+                   block_m, block_n, use_table, g_off, t_min, dw_mode):
+    del dw_mode  # dq pass produces no bucket-weight gradient
     h = pl.program_id(1)
     i = pl.program_id(2)
     j = pl.program_id(3)
@@ -735,7 +782,8 @@ def _bwd(q, k, v, w, causal, sm_scale, bidirectional, num_buckets,
     common = dict(sm_scale=sm_scale, causal=causal, bidirectional=bidirectional,
                   num_buckets=num_buckets, max_distance=max_distance,
                   m_len=m_len, n_len=n_len, block_m=block_m, block_n=block_n,
-                  use_table=use_table, g_off=g_off, t_min=t_min)
+                  use_table=use_table, g_off=g_off, t_min=t_min,
+                  dw_mode=_dw_mode())
 
     def specs(order):
         # order: "kv" (b,h,j,i) or "q" (b,h,i,j)
@@ -776,16 +824,29 @@ def _bwd(q, k, v, w, causal, sm_scale, bidirectional, num_buckets,
     if (fused and use_table and n_j == 1
             and _os.environ.get("FLASHT5_RPE_FWD_RESIDENT", "1") != "0"
             and 2 * batch * block_n * d * 4 <= 8 * 1024 * 1024):
+        # This kernel's own q-tile: at block_m=256 the kernel sat 880KB over
+        # the 16MB scoped-vmem limit in some surrounding programs (fwd+bwd
+        # without optimizer); 128 clears it with margin and the same MXU
+        # shapes. FLASHT5_RPE_BWD_BM overrides for A/B.
+        bm2 = min(block_m, max(16, int(
+            _os.environ.get("FLASHT5_RPE_BWD_BM", "128"))))
+        while mp % bm2:
+            bm2 //= 2
+        g2, t2, _ = _offset_geometry(mp, np_, bm2, block_n)
+        table2, _, _ = _build_offset_table(
+            w, mp, np_, bm2, block_n, bidirectional=bidirectional,
+            num_buckets=num_buckets, max_distance=max_distance,
+            dtype=_table_dtype(q.dtype))
         nb_j1 = max(8, ((w.shape[0] + 7) // 8) * 8)
         dq, dk, dv, dw_all = pl.pallas_call(
             functools.partial(
                 _bwd_fused_kernel_nj1, sm_scale=sm_scale, causal=causal,
                 bidirectional=bidirectional, num_buckets=num_buckets,
                 max_distance=max_distance, m_len=m_len, n_len=n_len,
-                block_m=block_m, block_n=block_n),
-            grid=(heads, mp // block_m, batch),
+                block_m=bm2, block_n=block_n, dw_mode=_dw_mode()),
+            grid=(heads, mp // bm2, batch),
             in_specs=[
-                pl.BlockSpec((1, 1, block_m, d),
+                pl.BlockSpec((1, 1, bm2, d),
                              lambda h, i, b: (b, h, i, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, 1, block_n, d),
@@ -794,22 +855,22 @@ def _bwd(q, k, v, w, causal, sm_scale, bidirectional, num_buckets,
                 pl.BlockSpec((1, 1, block_n, d),
                              lambda h, i, b: (b, h, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, block_m, block_n),
+                pl.BlockSpec((1, 1, bm2, block_n),
                              lambda h, i, b: (
-                                 (-i * block_m - t_min) // g_off, h, 0, 0),
+                                 (-i * bm2 - t2) // g2, h, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, block_m, 1),
+                pl.BlockSpec((1, 1, bm2, 1),
                              lambda h, i, b: (b, h, i, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, block_m, 1),
+                pl.BlockSpec((1, 1, bm2, 1),
                              lambda h, i, b: (b, h, i, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, block_m, d),
+                pl.BlockSpec((1, 1, bm2, d),
                              lambda h, i, b: (b, h, i, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=[
-                pl.BlockSpec((1, 1, block_m, d),
+                pl.BlockSpec((1, 1, bm2, d),
                              lambda h, i, b: (b, h, i, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, 1, block_n, d),
@@ -835,7 +896,7 @@ def _bwd(q, k, v, w, causal, sm_scale, bidirectional, num_buckets,
             compiler_params=_compiler_params(
                 ("arbitrary", "arbitrary", "arbitrary")),
             interpret=interpret_mode(),
-        )(qp, kp, vp, table, lsep, deltap, dop)
+        )(qp, kp, vp, table2, lsep, deltap, dop)
         nb, h_real = w.shape
         dw = dw_all[0, :nb, :h_real].astype(w.dtype)
         return (dq[:, :, :m_len].astype(q.dtype),

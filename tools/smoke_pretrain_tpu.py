@@ -92,9 +92,13 @@ def main():
                        Denoiser(4.0, 0.0, 1, "[S]")],
         denoiser_proportions=[0.5, 0.25, 0.25], seed=0)
 
+    # ONE corpus split train/held-out: markov_corpus draws its transition
+    # table per call, so separate calls produce two different languages and
+    # eval ppl degrades as the model learns the train one (confidently
+    # wrong on foreign bigrams).
     rng = np.random.default_rng(0)
-    train_docs = markov_corpus(vocab, 2000, rng)
-    eval_docs = markov_corpus(vocab, 64, rng)
+    docs = markov_corpus(vocab, 2064, rng)
+    train_docs, eval_docs = docs[:2000], docs[2000:]
 
     def batches(docs, n, seed):
         brng = np.random.default_rng(seed)

@@ -55,8 +55,15 @@ class EngineConfig:
     # round-trip costs ~25ms, so windows of 8-16 amortize it. Finished slots
     # idle until the window ends (bounded over-decode, masked on harvest).
     steps_per_sync: int = 8
-    # Use the fused Pallas decode-attention kernel (ops/decode_attention.py):
-    # one pass over the (int8) cache per layer instead of jnp dequant+einsum.
+    # Use the fused Pallas decode-attention kernel (ops/decode_attention.py)
+    # instead of the jnp dequant+einsum path. Default OFF on measurement, not
+    # neglect: XLA lowers the batched single-query einsum to VPU
+    # multiply+sublane-reduce and sits at the cache-read roofline (~180us
+    # above the dispatch floor at 64 slots x 2048), while any MXU
+    # formulation of M=1 attention pays an H-fold flop overshoot
+    # (docs/decode_crossover.json, measured both kernel generations). The
+    # kernel stays for A/B and for the paged engine, where page-table
+    # indirection has no efficient XLA form.
     use_decode_kernel: bool = False
     # Sampling (inference/sampling.py): temperature <= 0 -> greedy argmax
     # (the reference generate's behavior, modeling_flash_t5.py:677);

@@ -146,8 +146,8 @@ def paged_decode_attention_ref(q, pool: PagedKVPool, *, sm_scale=1.0,
 # Pallas kernel
 # ---------------------------------------------------------------------------
 
-def _paged_kernel(pt_ref, len_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref,
-                  bias_ref, o_ref, m_scr, l_scr, acc_scr, *,
+def _paged_kernel(pt_ref, len_ref, meta_ref, q_ref, k_ref, v_ref, ks_ref,
+                  vs_ref, bias_ref, o_ref, m_scr, l_scr, acc_scr, *,
                   sm_scale, page_size, quantized, has_bias):
     b = pl.program_id(0)
     j = pl.program_id(1)
@@ -163,50 +163,51 @@ def _paged_kernel(pt_ref, len_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref,
     # skip pages entirely past this slot's length
     @pl.when(j * page_size < length)
     def _compute():
-        # per-head MXU matvecs, dequant scales folded in after the
-        # contraction — same design as ops/decode_attention._kernel (the
-        # broadcast multiply+reduce form was lane-hostile and ~6x off the
-        # int8-read roofline at long caches, docs/decode_crossover.json)
+        # All heads in one pair of matmuls with own-head block masking —
+        # same design as ops/decode_attention._kernel_flat; at page_size 16
+        # the pages are so small that the 2*H narrow matvecs of the per-head
+        # form were pure pipeline latency. Quantized pages dequant in fp32
+        # BEFORE the (tiny, latency-bound) matmuls — bit-faithful to the
+        # oracle, and the VPU cost is H*P*D elements per page.
         nh = q_ref.shape[1]
-        q = q_ref[0].astype(jnp.float32)                  # (H, D)
-        cdt = (jnp.float32 if k_ref.dtype == jnp.float32
-               and q_ref.dtype == jnp.float32 else jnp.bfloat16)
-        s_cols = []
-        for hh in range(nh):
-            sh = jax.lax.dot_general(
-                k_ref[0, hh].astype(cdt), q[hh][:, None].astype(cdt),
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)       # (P, 1)
-            if quantized:
-                sh = sh * ks_ref[0, hh]
-            s_cols.append(sh)
-        s = jnp.concatenate(s_cols, axis=1) * sm_scale    # (P, H)
+        d = q_ref.shape[2]
+        hp = nh * page_size
+        if quantized:
+            cdt = jnp.float32
+            kf = (k_ref[0].astype(jnp.float32) * ks_ref[0])
+            vf = (v_ref[0].astype(jnp.float32) * vs_ref[0])
+        else:
+            cdt = (jnp.float32 if k_ref.dtype == jnp.float32
+                   and q_ref.dtype == jnp.float32 else jnp.bfloat16)
+            kf = k_ref[0].astype(cdt)
+            vf = v_ref[0].astype(cdt)
+        q = q_ref[0].astype(cdt)                          # (H, D)
+        s = jax.lax.dot_general(
+            q, kf.astype(cdt).reshape(hp, d), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * sm_scale    # (H, HP)
         if has_bias:
-            s = s + bias_ref[0, 0].astype(jnp.float32).T
-        pos = j * page_size + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
-        s = jnp.where(pos < length, s, _NEG_INF)
+            s = s + bias_ref[0, 0].astype(jnp.float32)    # (1, HP)
+        chead = meta_ref[0:1, :]                          # (1, HP)
+        pos = j * page_size + meta_ref[1:2, :]
+        row = jax.lax.broadcasted_iota(jnp.int32, (nh, hp), 0)
+        own = (chead == row) & (pos < length)
+        s = jnp.where(own, s, _NEG_INF)
 
-        m_prev = m_scr[...]                               # (1, H)
-        m_new = jnp.maximum(m_prev, jnp.max(s, axis=0, keepdims=True))
+        m_prev = m_scr[...]                               # (H, 1)
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
         alpha = jnp.exp(m_prev - m_new)
-        p = jnp.where(pos < length, jnp.exp(s - m_new), 0.0)
-        l_scr[...] = l_scr[...] * alpha + jnp.sum(p, axis=0, keepdims=True)
+        p = jnp.where(own, jnp.exp(s - m_new), 0.0)       # (H, HP)
+        l_scr[...] = l_scr[...] * alpha + jnp.sum(p, axis=1, keepdims=True)
         m_scr[...] = m_new
-        pv_rows = []
-        for hh in range(nh):
-            ph = p[:, hh:hh + 1]
-            if quantized:
-                ph = ph * vs_ref[0, hh]
-            pv_rows.append(jax.lax.dot_general(
-                ph.astype(cdt), v_ref[0, hh].astype(cdt),
-                (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32))      # (1, D)
-        acc_scr[...] = (acc_scr[...] * alpha.T
-                        + jnp.concatenate(pv_rows, axis=0))
+        pv = jax.lax.dot_general(
+            p.astype(cdt), vf.astype(cdt).reshape(hp, d),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)           # (H, D)
+        acc_scr[...] = acc_scr[...] * alpha + pv
 
     @pl.when(j == n_pages - 1)
     def _finalize():
-        l = l_scr[...].T                                  # (H, 1)
+        l = l_scr[...]                                    # (H, 1)
         l_safe = jnp.where(l > 0.0, l, 1.0)
         o_ref[0] = (acc_scr[...] / l_safe).astype(o_ref.dtype)
 
@@ -236,9 +237,15 @@ def paged_decode_attention_arrays(q, pages_k, pages_v, scales_k, scales_v,
 
     dummy_s = jnp.zeros((1, 1, 1, 1), jnp.float32)
     if has_bias:
-        bias_in = bias.reshape(b, h, maxp, P).transpose(0, 2, 1, 3)  # (B,maxp,H,P)
+        # (B, maxp, 1, H*P): per-page rows in the kernel's head-major
+        # k_flat order
+        bias_in = (bias.reshape(b, h, maxp, P).transpose(0, 2, 1, 3)
+                   .reshape(b, maxp, 1, h * P))
     else:
         bias_in = jnp.zeros((1, 1, 1, 1), jnp.float32)
+    meta = jnp.stack([
+        jnp.repeat(jnp.arange(h, dtype=jnp.int32), P),
+        jnp.tile(jnp.arange(P, dtype=jnp.int32), h)])     # (2, H*P)
 
     def page_map(bb, jj, pt, ln):
         return (pt[bb, jj], 0, 0, 0)
@@ -247,6 +254,8 @@ def paged_decode_attention_arrays(q, pages_k, pages_v, scales_k, scales_v,
         num_scalar_prefetch=2,
         grid=(b, maxp),
         in_specs=[
+            pl.BlockSpec((2, h * P), lambda bb, jj, pt, ln: (0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((1, h, d), lambda bb, jj, pt, ln: (bb, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, h, P, d), page_map, memory_space=pltpu.VMEM),
@@ -259,7 +268,8 @@ def paged_decode_attention_arrays(q, pages_k, pages_v, scales_k, scales_v,
              if quantized else
              pl.BlockSpec((1, 1, 1, 1), lambda bb, jj, pt, ln: (0, 0, 0, 0),
                           memory_space=pltpu.VMEM)),
-            (pl.BlockSpec((1, 1, h, P), lambda bb, jj, pt, ln: (bb, jj, 0, 0),
+            (pl.BlockSpec((1, 1, 1, h * P),
+                          lambda bb, jj, pt, ln: (bb, jj, 0, 0),
                           memory_space=pltpu.VMEM)
              if has_bias else
              pl.BlockSpec((1, 1, 1, 1), lambda bb, jj, pt, ln: (0, 0, 0, 0),
@@ -268,22 +278,22 @@ def paged_decode_attention_arrays(q, pages_k, pages_v, scales_k, scales_v,
         out_specs=pl.BlockSpec((1, h, d), lambda bb, jj, pt, ln: (bb, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((1, h), jnp.float32),
-            pltpu.VMEM((1, h), jnp.float32),
+            pltpu.VMEM((h, 1), jnp.float32),
+            pltpu.VMEM((h, 1), jnp.float32),
             pltpu.VMEM((h, d), jnp.float32),
         ],
     )
     kern = functools.partial(_paged_kernel, sm_scale=sm_scale, page_size=P,
                              quantized=quantized, has_bias=has_bias)
 
-    def run(pt, lengths, q, pk, pv, sk, sv, bias_in):
+    def run(pt, lengths, meta, q, pk, pv, sk, sv, bias_in):
         return pl.pallas_call(
             kern, grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((b, h, d), q.dtype),
             interpret=interpret_mode(),
-        )(pt, lengths, q, pk, pv, sk, sv, bias_in)
+        )(pt, lengths, meta, q, pk, pv, sk, sv, bias_in)
 
-    return run(page_table, lengths, q, pages_k, pages_v,
+    return run(page_table, lengths, meta, q, pages_k, pages_v,
                scales_k if quantized else dummy_s,
                scales_v if quantized else dummy_s,
                bias_in)

@@ -64,3 +64,16 @@ def test_long_cache_chunked():
                                sm_scale=0.2)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-3,
                                rtol=1e-2)
+
+
+@pytest.mark.parametrize("L", [1, 66])
+def test_odd_short_caches(L):
+    """Non-lane-aligned cache lengths (engine's max_new+2 case): the flat
+    kernel rounds the chunk up to 128 and masks the padding."""
+    q, k, v, bias, _ = _data(b=3, h=4, L=L, d=32, seed=3)
+    lengths = jnp.array([L, max(1, L // 2), 1])
+    out = decode_attention(q, k, v, lengths=lengths, bias=bias, sm_scale=0.2)
+    ref = decode_attention_ref(q, k, v, lengths=lengths, bias=bias,
+                               sm_scale=0.2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-3,
+                               rtol=1e-2)

@@ -54,11 +54,17 @@ def _bwd_blocks(block_m, block_n, m_len, n_len):
 _NEG_INF = -1e30
 
 
-def _compiler_params(dims):
+def _compiler_params(dims, vmem_limit_bytes=None):
+    # v5e has 128MB VMEM; Mosaic's default scoped limit is 16MB, which a
+    # batch-resident accumulator strategy (dk/dv scratch + big KV tiles)
+    # legitimately exceeds — callers opt into a higher cap per kernel.
+    kw = {}
+    if vmem_limit_bytes is not None:
+        kw["vmem_limit_bytes"] = vmem_limit_bytes
     try:
-        return pltpu.CompilerParams(dimension_semantics=dims)
+        return pltpu.CompilerParams(dimension_semantics=dims, **kw)
     except TypeError:
-        return pltpu.CompilerParams()
+        return pltpu.CompilerParams(**kw)
 
 
 # ---------------------------------------------------------------------------

@@ -167,9 +167,13 @@ def _dw_accum(dw_ref, g, h, i, j, *, mode, block_m, block_n, bidirectional,
            + jax.lax.broadcasted_iota(jnp.int32, ds.shape, 1))
     bucket_d = _bucket_of(rel, bidirectional=bidirectional,
                           num_buckets=num_buckets, max_distance=max_distance)
-    for bkt in range(num_buckets):
-        s_b = jnp.sum(jnp.where(bucket_d == bkt, ds, 0.0))
-        dw_ref[0, bkt:bkt + 1, :] += jnp.where(lane == h, s_b, 0.0)
+    # one masked (NB_pad, W) reduction instead of an NB-iteration loop of
+    # tiny (1, W) ops — rows >= num_buckets never match a bucket and stay 0
+    nb_rows = dw_ref.shape[1]
+    bkt_rows = jax.lax.broadcasted_iota(jnp.int32, (nb_rows, w_cols), 0)
+    sums = jnp.sum(jnp.where(bucket_d == bkt_rows, ds, 0.0), axis=1,
+                   keepdims=True)                          # (NB_pad, 1)
+    dw_ref[0] += jnp.where(lane == h, sums, 0.0)
 
 
 # ---------------------------------------------------------------------------
@@ -684,9 +688,9 @@ def _bwd_fused_kernel_nj1(q_ref, k_ref, v_ref, bias_ref, lse_ref, delta_ref,
         preferred_element_type=jnp.float32) * sm_scale
     dv_scr[b] = dv_new
     dk_scr[b] = dk_new
-    # unconditional flush: (b, h) output blocks are revisited at every i, so
-    # each visit writes the running sum and the final (i = n_i - 1) write,
-    # last in the sequential grid, wins in HBM
+    # unconditional VMEM write; the out spec routes every visit except the
+    # final (i = n_i - 1) one to a constant-index garbage block, so only the
+    # completed per-(b, h) sums are actually DMAed to HBM
     dk_ref[0, 0] = dk_new
     dv_ref[0, 0] = dv_new
 
@@ -873,20 +877,30 @@ def _bwd(q, k, v, w, causal, sm_scale, bidirectional, num_buckets,
                 pl.BlockSpec((1, 1, bm2, d),
                              lambda h, i, b: (b, h, i, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, block_n, d),
-                             lambda h, i, b: (b, h, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, block_n, d),
-                             lambda h, i, b: (b, h, 0, 0),
-                             memory_space=pltpu.VMEM),
+                # dk/dv accumulate across the i sweep; only the LAST i visit
+                # holds slot b's final sum. Intermediate visits are routed to
+                # a garbage block (row `batch`) whose index never changes, so
+                # Pallas elides their HBM copy-outs — without this, every
+                # program DMAs 2x(block_n, d) fp32 (~0.5MB x grid-size per
+                # layer of dead writes, ~30% of this kernel's runtime).
+                pl.BlockSpec(
+                    (1, 1, block_n, d),
+                    lambda h, i, b: (
+                        jnp.where(i == (mp // bm2) - 1, b, batch), h, 0, 0),
+                    memory_space=pltpu.VMEM),
+                pl.BlockSpec(
+                    (1, 1, block_n, d),
+                    lambda h, i, b: (
+                        jnp.where(i == (mp // bm2) - 1, b, batch), h, 0, 0),
+                    memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, nb_j1, _HEAD_LANES),
                              lambda h, i, b: (0, 0, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_shape=[
                 jax.ShapeDtypeStruct(qp.shape, jnp.float32),
-                jax.ShapeDtypeStruct(kp.shape, jnp.float32),
-                jax.ShapeDtypeStruct(vp.shape, jnp.float32),
+                jax.ShapeDtypeStruct((batch + 1,) + kp.shape[1:], jnp.float32),
+                jax.ShapeDtypeStruct((batch + 1,) + vp.shape[1:], jnp.float32),
                 jax.ShapeDtypeStruct((1, nb_j1, _HEAD_LANES), jnp.float32),
             ],
             scratch_shapes=[
@@ -894,14 +908,15 @@ def _bwd(q, k, v, w, causal, sm_scale, bidirectional, num_buckets,
                 pltpu.VMEM((batch, block_n, d), jnp.float32),
             ],
             compiler_params=_compiler_params(
-                ("arbitrary", "arbitrary", "arbitrary")),
+                ("arbitrary", "arbitrary", "arbitrary"),
+                vmem_limit_bytes=64 * 1024 * 1024),
             interpret=interpret_mode(),
         )(qp, kp, vp, table2, lsep, deltap, dop)
         nb, h_real = w.shape
         dw = dw_all[0, :nb, :h_real].astype(w.dtype)
         return (dq[:, :, :m_len].astype(q.dtype),
-                dk[:, :, :n_len].astype(k.dtype),
-                dv[:, :, :n_len].astype(v.dtype),
+                dk[:batch, :, :n_len].astype(k.dtype),
+                dv[:batch, :, :n_len].astype(v.dtype),
                 dw)
 
     if fused:
@@ -1046,6 +1061,10 @@ def flash_attention_rpe(
         return flash_attention(q, k, v, None, causal=causal, sm_scale=sm_scale,
                                block_m=block_m, block_n=block_n)
     round16 = lambda x: ((x + 15) // 16) * 16
+    if block_m == DEFAULT_BLOCK_M:
+        # forward q-tile A/B knob (trace-time): bigger tiles amortize
+        # per-program overhead in the batch-innermost resident grids
+        block_m = int(_os.environ.get("FLASHT5_RPE_FWD_BM", block_m))
     block_m = min(block_m, round16(q.shape[2]))
     block_n = min(block_n, round16(k.shape[2]))
     return _far(q, k, v, rpe_weights, causal, sm_scale, bidirectional,

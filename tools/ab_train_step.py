@@ -45,6 +45,9 @@ def main():
     from flasht5_tpu.optim import adamw_scale, no_decay_mask
 
     config = _flagship_config()
+    if os.environ.get("FLASHT5_AB_REMAT") == "1":
+        import dataclasses
+        config = dataclasses.replace(config, remat=True)
     on_tpu = jax.default_backend() == "tpu"
     batch = args.batch
     enc_len, dec_len = (1024, 256) if on_tpu else (128, 64)

@@ -35,6 +35,7 @@ live in parallel/sharding.py.
 from __future__ import annotations
 
 import functools
+import os as _os
 from typing import Any, Dict, Optional, Tuple
 
 import jax
@@ -368,11 +369,31 @@ def _attention(
         table = rpe_table
         if table is None and has_pe and pe_params is not None:
             table = pe_params["relative_attention_bias"]
-        out = flash_attention_rpe(
-            qt, kt, vt, table,
-            causal=is_causal, sm_scale=scale, bidirectional=bidirectional,
-            num_buckets=config.relative_attention_num_buckets,
-            max_distance=config.relative_attention_max_distance)
+        # Small-query escape hatch (A/B knob, default OFF): route short-M
+        # attention to the XLA reference path with the bias materialized from
+        # the bucket table (jnp.take's scatter-add transpose provides dW).
+        # Measured SLOWER on v5e at M=256 (113.8k vs 119.5k tok/s full-step
+        # A/B): XLA saves the (B,H,M,N) probabilities for backward, and that
+        # HBM round-trip costs more than the Pallas launches it removes.
+        # Same masking semantics as the kernel path (no padding mask —
+        # parity with the reference's fa2_rpe backend).
+        if m <= int(_os.environ.get("FLASHT5_SMALL_ATTN_M", "0")):
+            small_bias = None
+            if table is not None:
+                small_bias = positional.t5_relative_bias(
+                    {"relative_attention_bias": table}, m, n,
+                    bidirectional=bidirectional,
+                    num_buckets=config.relative_attention_num_buckets,
+                    max_distance=config.relative_attention_max_distance,
+                    dtype=jnp.float32)
+            out = attn_ref(qt, kt, vt, small_bias, sm_scale=scale,
+                           causal=is_causal)
+        else:
+            out = flash_attention_rpe(
+                qt, kt, vt, table,
+                causal=is_causal, sm_scale=scale, bidirectional=bidirectional,
+                num_buckets=config.relative_attention_num_buckets,
+                max_distance=config.relative_attention_max_distance)
     elif config.attention_type == "pallas":
         out = flash_attention(qt, kt, vt, position_bias, causal=is_causal,
                               sm_scale=scale)

@@ -74,7 +74,8 @@ def _compiler_params(dims, vmem_limit_bytes=None):
 def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref,
                 m_scr, l_scr, acc_scr, *,
                 sm_scale: float, causal: bool, m_len: int, n_len: int,
-                block_m: int, block_n: int, has_bias: bool):
+                block_m: int, block_n: int, has_bias: bool,
+                full_tile: bool = False):
     i = pl.program_id(2)
     j = pl.program_id(3)
     nb = pl.num_programs(3)
@@ -98,23 +99,35 @@ def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref,
         k = k_ref[0, 0]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * sm_scale
+            preferred_element_type=jnp.float32)
+        if sm_scale != 1.0:
+            s = s * sm_scale
         if has_bias:
             s = s + bias_ref[0, 0].astype(jnp.float32)
 
-        rows = i * block_m + jax.lax.broadcasted_iota(jnp.int32, (block_m, block_n), 0)
-        cols = j * block_n + jax.lax.broadcasted_iota(jnp.int32, (block_m, block_n), 1)
-        mask = cols < n_len
-        if causal:
-            mask = mask & (cols <= rows + offset)
-        s = jnp.where(mask, s, _NEG_INF)
+        if full_tile:
+            # statically all-valid tile (non-causal, no padding): the mask
+            # iotas/compares/selects are dead work on the VPU — at D=64
+            # these kernels are VPU-bound, not MXU-bound, so skipping the
+            # masking chain is a first-order win
+            m_prev = m_scr[...]
+            m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+            alpha = jnp.exp(m_prev - m_new)
+            p = jnp.exp(s - m_new)
+        else:
+            rows = i * block_m + jax.lax.broadcasted_iota(jnp.int32, (block_m, block_n), 0)
+            cols = j * block_n + jax.lax.broadcasted_iota(jnp.int32, (block_m, block_n), 1)
+            mask = cols < n_len
+            if causal:
+                mask = mask & (cols <= rows + offset)
+            s = jnp.where(mask, s, _NEG_INF)
 
-        m_prev = m_scr[...]
-        m_cur = jnp.max(s, axis=-1, keepdims=True)
-        m_new = jnp.maximum(m_prev, m_cur)
-        alpha = jnp.exp(m_prev - m_new)
-        p = jnp.exp(s - m_new)
-        p = jnp.where(mask, p, 0.0)
+            m_prev = m_scr[...]
+            m_cur = jnp.max(s, axis=-1, keepdims=True)
+            m_new = jnp.maximum(m_prev, m_cur)
+            alpha = jnp.exp(m_prev - m_new)
+            p = jnp.exp(s - m_new)
+            p = jnp.where(mask, p, 0.0)
 
         l_scr[...] = l_scr[...] * alpha + jnp.sum(p, axis=-1, keepdims=True)
         m_scr[...] = m_new
@@ -126,10 +139,15 @@ def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref,
     @pl.when(j == nb - 1)
     def _finalize():
         l = l_scr[...]
-        l_safe = jnp.where(l > 0.0, l, 1.0)
-        o_ref[0, 0] = (acc_scr[...] / l_safe).astype(o_ref.dtype)
-        lse = jnp.where(l > 0.0, m_scr[...] + jnp.log(l_safe), _NEG_INF)
-        lse_ref[0, 0] = lse
+        if full_tile:
+            # every row saw a full softmax: l > 0 is guaranteed
+            o_ref[0, 0] = (acc_scr[...] / l).astype(o_ref.dtype)
+            lse_ref[0, 0] = m_scr[...] + jnp.log(l)
+        else:
+            l_safe = jnp.where(l > 0.0, l, 1.0)
+            o_ref[0, 0] = (acc_scr[...] / l_safe).astype(o_ref.dtype)
+            lse = jnp.where(l > 0.0, m_scr[...] + jnp.log(l_safe), _NEG_INF)
+            lse_ref[0, 0] = lse
 
 
 def _pad_to(x, axis, mult):
@@ -182,7 +200,8 @@ def _fwd(q, k, v, bias, causal, sm_scale, block_m, block_n):
     grid = (batch, heads, mp // block_m, np_ // block_n)
     kern = functools.partial(
         _fwd_kernel, sm_scale=sm_scale, causal=causal, m_len=m_len,
-        n_len=n_len, block_m=block_m, block_n=block_n, has_bias=has_bias)
+        n_len=n_len, block_m=block_m, block_n=block_n, has_bias=has_bias,
+        full_tile=(not causal and mp == m_len and np_ == n_len))
     o, lse = pl.pallas_call(
         kern,
         grid=grid,
@@ -214,28 +233,35 @@ def _fwd(q, k, v, bias, causal, sm_scale, block_m, block_n):
 
 def _recompute_p_and_g(q_ref, k_ref, v_ref, bias_ref, lse_ref, delta_ref,
                        do_ref, *, i, j, sm_scale, causal, m_len, n_len,
-                       block_m, block_n, has_bias):
+                       block_m, block_n, has_bias, full_tile=False):
     """Shared bwd tile math: returns (p, g, q, k, do) in fp32/f32-accum types.
 
     p: recomputed softmax tile; g = p * (dp - delta) is the gradient of the
     pre-softmax scores S (so dbias = g, dq = g K sm_scale, dk = g^T Q sm_scale).
+    With full_tile (non-causal, unpadded — statically known) the mask and
+    lse-validity chains are elided: these kernels are VPU-bound at D=64.
     """
     q = q_ref[0, 0]
     k = k_ref[0, 0]
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32) * sm_scale
+                            preferred_element_type=jnp.float32)
+    if sm_scale != 1.0:
+        s = s * sm_scale
     if has_bias:
         s = s + bias_ref[0, 0].astype(jnp.float32)
-    rows = i * block_m + jax.lax.broadcasted_iota(jnp.int32, (block_m, block_n), 0)
-    cols = j * block_n + jax.lax.broadcasted_iota(jnp.int32, (block_m, block_n), 1)
-    mask = (cols < n_len) & (rows < m_len)
-    if causal:
-        mask = mask & (cols <= rows + (n_len - m_len))
+    if full_tile:
+        p = jnp.exp(s - lse_ref[0, 0])
+    else:
+        rows = i * block_m + jax.lax.broadcasted_iota(jnp.int32, (block_m, block_n), 0)
+        cols = j * block_n + jax.lax.broadcasted_iota(jnp.int32, (block_m, block_n), 1)
+        mask = (cols < n_len) & (rows < m_len)
+        if causal:
+            mask = mask & (cols <= rows + (n_len - m_len))
 
-    lse = lse_ref[0, 0]
-    lse_ok = lse > _NEG_INF / 2
-    lse_safe = jnp.where(lse_ok, lse, 0.0)
-    p = jnp.where(mask & lse_ok, jnp.exp(s - lse_safe), 0.0)
+        lse = lse_ref[0, 0]
+        lse_ok = lse > _NEG_INF / 2
+        lse_safe = jnp.where(lse_ok, lse, 0.0)
+        p = jnp.where(mask & lse_ok, jnp.exp(s - lse_safe), 0.0)
 
     do = do_ref[0, 0]
     v = v_ref[0, 0]
@@ -249,7 +275,7 @@ def _recompute_p_and_g(q_ref, k_ref, v_ref, bias_ref, lse_ref, delta_ref,
 def _bwd_dkv_kernel(q_ref, k_ref, v_ref, bias_ref, lse_ref, delta_ref, do_ref,
                     dk_ref, dv_ref, dbias_ref, *,
                     sm_scale, causal, m_len, n_len, block_m, block_n,
-                    has_bias, want_dbias):
+                    has_bias, want_dbias, full_tile=False):
     j = pl.program_id(2)
     i = pl.program_id(3)
 
@@ -273,7 +299,8 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, bias_ref, lse_ref, delta_ref, do_ref,
         p, g, q, k, do = _recompute_p_and_g(
             q_ref, k_ref, v_ref, bias_ref, lse_ref, delta_ref, do_ref,
             i=i, j=j, sm_scale=sm_scale, causal=causal, m_len=m_len,
-            n_len=n_len, block_m=block_m, block_n=block_n, has_bias=has_bias)
+            n_len=n_len, block_m=block_m, block_n=block_n, has_bias=has_bias,
+            full_tile=full_tile)
         dv_ref[0, 0] += jax.lax.dot_general(
             p.astype(do_ref.dtype), do_ref[0, 0], (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
@@ -286,7 +313,7 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, bias_ref, lse_ref, delta_ref, do_ref,
 
 def _bwd_dq_kernel(q_ref, k_ref, v_ref, bias_ref, lse_ref, delta_ref, do_ref,
                    dq_ref, *, sm_scale, causal, m_len, n_len, block_m, block_n,
-                   has_bias):
+                   has_bias, full_tile=False):
     i = pl.program_id(2)
     j = pl.program_id(3)
 
@@ -303,7 +330,8 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, bias_ref, lse_ref, delta_ref, do_ref,
         p, g, q, k, do = _recompute_p_and_g(
             q_ref, k_ref, v_ref, bias_ref, lse_ref, delta_ref, do_ref,
             i=i, j=j, sm_scale=sm_scale, causal=causal, m_len=m_len,
-            n_len=n_len, block_m=block_m, block_n=block_n, has_bias=has_bias)
+            n_len=n_len, block_m=block_m, block_n=block_n, has_bias=has_bias,
+            full_tile=full_tile)
         dq_ref[0, 0] += jax.lax.dot_general(
             g.astype(k_ref.dtype), k_ref[0, 0], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32) * sm_scale
@@ -365,10 +393,11 @@ def _bwd(q, k, v, bias, causal, sm_scale, block_m, block_n, lse, o, do,
                                        lambda b, h, j, i: (0, 0, 0, 0),
                                        memory_space=pltpu.VMEM)
     grid_kv = (batch, heads, np_ // block_n, mp // block_m)
+    full_tile = (not causal and mp == m_len and np_ == n_len)
     kern_kv = functools.partial(
         _bwd_dkv_kernel, sm_scale=sm_scale, causal=causal, m_len=m_len,
         n_len=n_len, block_m=block_m, block_n=block_n, has_bias=has_bias,
-        want_dbias=want_dbias)
+        want_dbias=want_dbias, full_tile=full_tile)
     dk, dv, dbias_full = pl.pallas_call(
         kern_kv, grid=grid_kv, in_specs=in_specs_kv, out_specs=out_specs_kv,
         out_shape=[
@@ -399,7 +428,8 @@ def _bwd(q, k, v, bias, causal, sm_scale, block_m, block_n, lse, o, do,
     grid_q = (batch, heads, mp // block_m, np_ // block_n)
     kern_q = functools.partial(
         _bwd_dq_kernel, sm_scale=sm_scale, causal=causal, m_len=m_len,
-        n_len=n_len, block_m=block_m, block_n=block_n, has_bias=has_bias)
+        n_len=n_len, block_m=block_m, block_n=block_n, has_bias=has_bias,
+        full_tile=full_tile)
     dq = pl.pallas_call(
         kern_q, grid=grid_q, in_specs=in_specs_q,
         out_specs=pl.BlockSpec((1, 1, block_m, d), lambda b, h, i, j: (b, h, i, 0),

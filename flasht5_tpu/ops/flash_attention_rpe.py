@@ -181,7 +181,8 @@ def _dw_accum(dw_ref, g, h, i, j, *, mode, block_m, block_n, bidirectional,
 # ---------------------------------------------------------------------------
 
 def _fwd_kernel_nj1(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, *,
-                    sm_scale, causal, m_len, n_len, block_m, block_n):
+                    sm_scale, causal, m_len, n_len, block_m, block_n,
+                    full_tile=False):
     """Single-KV-tile forward with a batch-innermost grid (h, i, b).
 
     When the whole KV sequence fits one (block_n) tile — the common training
@@ -197,8 +198,23 @@ def _fwd_kernel_nj1(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, *,
     q = q_ref[0, 0]
     k = k_ref[0, 0]
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32) * sm_scale
+                            preferred_element_type=jnp.float32)
+    if sm_scale != 1.0:
+        s = s * sm_scale
     s = s + bias_ref[0, 0]
+    if full_tile:
+        # statically all-valid tile (non-causal, unpadded): skip the mask
+        # iota/compare/select chain and the empty-row guards — the kernel
+        # is VPU-bound at D=64, so these elementwise passes are the cost
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        pv = jax.lax.dot_general(p.astype(v_ref.dtype), v_ref[0, 0],
+                                 (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        o_ref[0, 0] = (pv / l).astype(o_ref.dtype)
+        lse_ref[0, 0] = m + jnp.log(l)
+        return
     rows = i * block_m + jax.lax.broadcasted_iota(
         jnp.int32, (block_m, block_n), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (block_m, block_n), 1)
@@ -221,7 +237,7 @@ def _fwd_kernel_nj1(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, *,
 def _fwd_kernel(q_ref, k_ref, v_ref, w_ref, o_ref, lse_ref,
                 m_scr, l_scr, acc_scr, *,
                 sm_scale, causal, bidirectional, num_buckets, max_distance,
-                m_len, n_len, block_m, block_n):
+                m_len, n_len, block_m, block_n, full_tile=False):
     h = pl.program_id(1)
     i = pl.program_id(2)
     j = pl.program_id(3)
@@ -243,24 +259,32 @@ def _fwd_kernel(q_ref, k_ref, v_ref, w_ref, o_ref, lse_ref,
         q = q_ref[0, 0]
         k = k_ref[0, 0]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32) * sm_scale
+                                preferred_element_type=jnp.float32)
+        if sm_scale != 1.0:
+            s = s * sm_scale
         bucket = _bucket_tile(i, j, block_m, block_n,
                               bidirectional=bidirectional,
                               num_buckets=num_buckets,
                               max_distance=max_distance)
         s = s + _bias_from_buckets(bucket, w_ref, h, num_buckets)
 
-        rows = i * block_m + jax.lax.broadcasted_iota(jnp.int32, (block_m, block_n), 0)
-        cols = j * block_n + jax.lax.broadcasted_iota(jnp.int32, (block_m, block_n), 1)
-        mask = cols < n_len
-        if causal:
-            mask = mask & (cols <= rows + offset)
-        s = jnp.where(mask, s, _NEG_INF)
+        if full_tile:
+            m_prev = m_scr[...]
+            m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+            alpha = jnp.exp(m_prev - m_new)
+            p = jnp.exp(s - m_new)
+        else:
+            rows = i * block_m + jax.lax.broadcasted_iota(jnp.int32, (block_m, block_n), 0)
+            cols = j * block_n + jax.lax.broadcasted_iota(jnp.int32, (block_m, block_n), 1)
+            mask = cols < n_len
+            if causal:
+                mask = mask & (cols <= rows + offset)
+            s = jnp.where(mask, s, _NEG_INF)
 
-        m_prev = m_scr[...]
-        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
-        alpha = jnp.exp(m_prev - m_new)
-        p = jnp.where(mask, jnp.exp(s - m_new), 0.0)
+            m_prev = m_scr[...]
+            m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+            alpha = jnp.exp(m_prev - m_new)
+            p = jnp.where(mask, jnp.exp(s - m_new), 0.0)
         l_scr[...] = l_scr[...] * alpha + jnp.sum(p, axis=-1, keepdims=True)
         m_scr[...] = m_new
         pv = jax.lax.dot_general(p.astype(v_ref.dtype), v_ref[0, 0],
@@ -353,7 +377,9 @@ def _fwd(q, k, v, w, causal, sm_scale, bidirectional, num_buckets,
                 functools.partial(
                     _fwd_kernel_nj1, sm_scale=sm_scale, causal=causal,
                     m_len=m_len, n_len=n_len, block_m=block_m,
-                    block_n=block_n),
+                    block_n=block_n,
+                    full_tile=(not causal and mp == m_len
+                               and np_ == n_len)),
                 grid=(heads, n_i, batch),
                 in_specs=[
                     pl.BlockSpec((1, 1, block_m, d),
@@ -391,7 +417,8 @@ def _fwd(q, k, v, w, causal, sm_scale, bidirectional, num_buckets,
         kern = functools.partial(
             _fa_bias_fwd_kernel, sm_scale=sm_scale, causal=causal,
             m_len=m_len, n_len=n_len, block_m=block_m, block_n=block_n,
-            has_bias=True)
+            has_bias=True,
+            full_tile=(not causal and mp == m_len and np_ == n_len))
         o, lse = pl.pallas_call(
             kern,
             grid=(batch, heads, n_i, n_j),
@@ -434,7 +461,8 @@ def _fwd(q, k, v, w, causal, sm_scale, bidirectional, num_buckets,
         _fwd_kernel, sm_scale=sm_scale, causal=causal,
         bidirectional=bidirectional, num_buckets=num_buckets,
         max_distance=max_distance, m_len=m_len, n_len=n_len,
-        block_m=block_m, block_n=block_n)
+        block_m=block_m, block_n=block_n,
+        full_tile=(not causal and mp == m_len and np_ == n_len))
     o, lse = pl.pallas_call(
         kern, grid=grid,
         in_specs=[
@@ -476,7 +504,7 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, w_ref, bias_ref, brange_ref, lse_ref,
                     delta_ref, do_ref, dk_ref, dv_ref, dw_ref, *,
                     sm_scale, causal, bidirectional, num_buckets, max_distance,
                     m_len, n_len, block_m, block_n, use_table, g_off, t_min,
-                    dw_mode):
+                    dw_mode, full_tile=False):
     h = pl.program_id(1)
     j = pl.program_id(2)
     i = pl.program_id(3)
@@ -499,7 +527,9 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, w_ref, bias_ref, brange_ref, lse_ref,
         q = q_ref[0, 0]
         k = k_ref[0, 0]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32) * sm_scale
+                                preferred_element_type=jnp.float32)
+        if sm_scale != 1.0:
+            s = s * sm_scale
         if use_table:
             s = s + bias_ref[0, 0]
         else:
@@ -509,15 +539,19 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, w_ref, bias_ref, brange_ref, lse_ref,
                              num_buckets=num_buckets,
                              max_distance=max_distance),
                 w_ref, h, num_buckets)
-        rows = i * block_m + jax.lax.broadcasted_iota(jnp.int32, (block_m, block_n), 0)
-        cols = j * block_n + jax.lax.broadcasted_iota(jnp.int32, (block_m, block_n), 1)
-        mask = (cols < n_len) & (rows < m_len)
-        if causal:
-            mask = mask & (cols <= rows + (n_len - m_len))
+        if full_tile:
+            p = jnp.exp(s - lse_ref[0, 0])
+        else:
+            rows = i * block_m + jax.lax.broadcasted_iota(jnp.int32, (block_m, block_n), 0)
+            cols = j * block_n + jax.lax.broadcasted_iota(jnp.int32, (block_m, block_n), 1)
+            mask = (cols < n_len) & (rows < m_len)
+            if causal:
+                mask = mask & (cols <= rows + (n_len - m_len))
 
-        lse = lse_ref[0, 0]
-        lse_ok = lse > _NEG_INF / 2
-        p = jnp.where(mask & lse_ok, jnp.exp(s - jnp.where(lse_ok, lse, 0.0)), 0.0)
+            lse = lse_ref[0, 0]
+            lse_ok = lse > _NEG_INF / 2
+            p = jnp.where(mask & lse_ok,
+                          jnp.exp(s - jnp.where(lse_ok, lse, 0.0)), 0.0)
 
         do = do_ref[0, 0]
         dp = jax.lax.dot_general(do, v_ref[0, 0], (((1,), (1,)), ((), ())),
@@ -546,7 +580,7 @@ def _bwd_fused_kernel(q_ref, k_ref, v_ref, w_ref, bias_ref, brange_ref,
                       dq_ref, dk_ref, dv_ref, dw_ref, *,
                       sm_scale, causal, bidirectional, num_buckets,
                       max_distance, m_len, n_len, block_m, block_n,
-                      use_table, g_off, t_min, dw_mode):
+                      use_table, g_off, t_min, dw_mode, full_tile=False):
     """Single-sweep backward: grid (b, h, j, i) with i innermost.
 
     Computes p = exp(s - lse) ONCE per (i, j) tile and produces all four
@@ -584,7 +618,9 @@ def _bwd_fused_kernel(q_ref, k_ref, v_ref, w_ref, bias_ref, brange_ref,
         q = q_ref[0, 0]
         k = k_ref[0, 0]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32) * sm_scale
+                                preferred_element_type=jnp.float32)
+        if sm_scale != 1.0:
+            s = s * sm_scale
         if use_table:
             s = s + bias_ref[0, 0]
         else:
@@ -594,15 +630,19 @@ def _bwd_fused_kernel(q_ref, k_ref, v_ref, w_ref, bias_ref, brange_ref,
                              num_buckets=num_buckets,
                              max_distance=max_distance),
                 w_ref, h, num_buckets)
-        rows = i * block_m + jax.lax.broadcasted_iota(jnp.int32, (block_m, block_n), 0)
-        cols = j * block_n + jax.lax.broadcasted_iota(jnp.int32, (block_m, block_n), 1)
-        mask = (cols < n_len) & (rows < m_len)
-        if causal:
-            mask = mask & (cols <= rows + (n_len - m_len))
+        if full_tile:
+            p = jnp.exp(s - lse_ref[0, 0])
+        else:
+            rows = i * block_m + jax.lax.broadcasted_iota(jnp.int32, (block_m, block_n), 0)
+            cols = j * block_n + jax.lax.broadcasted_iota(jnp.int32, (block_m, block_n), 1)
+            mask = (cols < n_len) & (rows < m_len)
+            if causal:
+                mask = mask & (cols <= rows + (n_len - m_len))
 
-        lse = lse_ref[0, 0]
-        lse_ok = lse > _NEG_INF / 2
-        p = jnp.where(mask & lse_ok, jnp.exp(s - jnp.where(lse_ok, lse, 0.0)), 0.0)
+            lse = lse_ref[0, 0]
+            lse_ok = lse > _NEG_INF / 2
+            p = jnp.where(mask & lse_ok,
+                          jnp.exp(s - jnp.where(lse_ok, lse, 0.0)), 0.0)
 
         do = do_ref[0, 0]
         dp = jax.lax.dot_general(do, v_ref[0, 0], (((1,), (1,)), ((), ())),
@@ -634,7 +674,7 @@ def _bwd_fused_kernel_nj1(q_ref, k_ref, v_ref, bias_ref, lse_ref, delta_ref,
                           dk_scr, dv_scr, *,
                           sm_scale, causal, bidirectional, num_buckets,
                           max_distance, m_len, n_len, block_m, block_n,
-                          dw_mode):
+                          dw_mode, full_tile=False):
     """Single-KV-tile fused backward, batch-innermost grid (h, i, b).
 
     Same residency argument as _fwd_kernel_nj1: the bias tile index depends
@@ -661,19 +701,27 @@ def _bwd_fused_kernel_nj1(q_ref, k_ref, v_ref, bias_ref, lse_ref, delta_ref,
     q = q_ref[0, 0]
     k = k_ref[0, 0]
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32) * sm_scale
+                            preferred_element_type=jnp.float32)
+    if sm_scale != 1.0:
+        s = s * sm_scale
     s = s + bias_ref[0, 0]
-    rows = i * block_m + jax.lax.broadcasted_iota(
-        jnp.int32, (block_m, block_n), 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (block_m, block_n), 1)
-    mask = (cols < n_len) & (rows < m_len)
-    if causal:
-        mask = mask & (cols <= rows + (n_len - m_len))
+    if full_tile:
+        # statically all-valid tile: no mask / lse-validity chains (see
+        # _fwd_kernel_nj1); g is exact on every element so dW needs no
+        # zeroing either
+        p = jnp.exp(s - lse_ref[0, 0])
+    else:
+        rows = i * block_m + jax.lax.broadcasted_iota(
+            jnp.int32, (block_m, block_n), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (block_m, block_n), 1)
+        mask = (cols < n_len) & (rows < m_len)
+        if causal:
+            mask = mask & (cols <= rows + (n_len - m_len))
 
-    lse = lse_ref[0, 0]
-    lse_ok = lse > _NEG_INF / 2
-    p = jnp.where(mask & lse_ok, jnp.exp(s - jnp.where(lse_ok, lse, 0.0)),
-                  0.0)
+        lse = lse_ref[0, 0]
+        lse_ok = lse > _NEG_INF / 2
+        p = jnp.where(mask & lse_ok,
+                      jnp.exp(s - jnp.where(lse_ok, lse, 0.0)), 0.0)
 
     do = do_ref[0, 0]
     dp = jax.lax.dot_general(do, v_ref[0, 0], (((1,), (1,)), ((), ())),
@@ -706,7 +754,8 @@ def _bwd_fused_kernel_nj1(q_ref, k_ref, v_ref, bias_ref, lse_ref, delta_ref,
 def _bwd_dq_kernel(q_ref, k_ref, v_ref, w_ref, bias_ref, brange_ref, lse_ref,
                    delta_ref, do_ref, dq_ref, *, sm_scale, causal,
                    bidirectional, num_buckets, max_distance, m_len, n_len,
-                   block_m, block_n, use_table, g_off, t_min, dw_mode):
+                   block_m, block_n, use_table, g_off, t_min, dw_mode,
+                   full_tile=False):
     del dw_mode  # dq pass produces no bucket-weight gradient
     h = pl.program_id(1)
     i = pl.program_id(2)
@@ -725,7 +774,9 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, w_ref, bias_ref, brange_ref, lse_ref,
         q = q_ref[0, 0]
         k = k_ref[0, 0]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32) * sm_scale
+                                preferred_element_type=jnp.float32)
+        if sm_scale != 1.0:
+            s = s * sm_scale
         if use_table:
             s = s + bias_ref[0, 0]
         else:
@@ -734,15 +785,19 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, w_ref, bias_ref, brange_ref, lse_ref,
                                   num_buckets=num_buckets,
                                   max_distance=max_distance)
             s = s + _bias_from_buckets(bucket, w_ref, h, num_buckets)
-        rows = i * block_m + jax.lax.broadcasted_iota(jnp.int32, (block_m, block_n), 0)
-        cols = j * block_n + jax.lax.broadcasted_iota(jnp.int32, (block_m, block_n), 1)
-        mask = (cols < n_len) & (rows < m_len)
-        if causal:
-            mask = mask & (cols <= rows + (n_len - m_len))
+        if full_tile:
+            p = jnp.exp(s - lse_ref[0, 0])
+        else:
+            rows = i * block_m + jax.lax.broadcasted_iota(jnp.int32, (block_m, block_n), 0)
+            cols = j * block_n + jax.lax.broadcasted_iota(jnp.int32, (block_m, block_n), 1)
+            mask = (cols < n_len) & (rows < m_len)
+            if causal:
+                mask = mask & (cols <= rows + (n_len - m_len))
 
-        lse = lse_ref[0, 0]
-        lse_ok = lse > _NEG_INF / 2
-        p = jnp.where(mask & lse_ok, jnp.exp(s - jnp.where(lse_ok, lse, 0.0)), 0.0)
+            lse = lse_ref[0, 0]
+            lse_ok = lse > _NEG_INF / 2
+            p = jnp.where(mask & lse_ok,
+                          jnp.exp(s - jnp.where(lse_ok, lse, 0.0)), 0.0)
         do = do_ref[0, 0]
         dp = jax.lax.dot_general(do, v_ref[0, 0], (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
@@ -787,7 +842,8 @@ def _bwd(q, k, v, w, causal, sm_scale, bidirectional, num_buckets,
                   num_buckets=num_buckets, max_distance=max_distance,
                   m_len=m_len, n_len=n_len, block_m=block_m, block_n=block_n,
                   use_table=use_table, g_off=g_off, t_min=t_min,
-                  dw_mode=_dw_mode())
+                  dw_mode=_dw_mode(),
+                  full_tile=(not causal and mp == m_len and np_ == n_len))
 
     def specs(order):
         # order: "kv" (b,h,j,i) or "q" (b,h,i,j)
@@ -847,7 +903,8 @@ def _bwd(q, k, v, w, causal, sm_scale, bidirectional, num_buckets,
                 _bwd_fused_kernel_nj1, sm_scale=sm_scale, causal=causal,
                 bidirectional=bidirectional, num_buckets=num_buckets,
                 max_distance=max_distance, m_len=m_len, n_len=n_len,
-                block_m=bm2, block_n=block_n, dw_mode=_dw_mode()),
+                block_m=bm2, block_n=block_n, dw_mode=_dw_mode(),
+                full_tile=(not causal and mp == m_len and np_ == n_len)),
             grid=(heads, mp // bm2, batch),
             in_specs=[
                 pl.BlockSpec((1, 1, bm2, d),

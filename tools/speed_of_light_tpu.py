@@ -52,14 +52,14 @@ def chained_seconds(step_fn, x0, *ops):
     _sync(r1(x0, *ops))
     _sync(r2(x0, *ops))  # compile + warm
     t1s, t2s = [], []
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.perf_counter()
         _sync(r1(x0, *ops))
         t1s.append(time.perf_counter() - t0)
         t0 = time.perf_counter()
         _sync(r2(x0, *ops))
         t2s.append(time.perf_counter() - t0)
-    return (sorted(t2s)[1] - sorted(t1s)[1]) / (N2 - N1)
+    return (sorted(t2s)[2] - sorted(t1s)[2]) / (N2 - N1)
 
 
 def report(tag, seconds, flops, bytes_accessed, chip="v5e"):

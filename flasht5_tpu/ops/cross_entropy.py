@@ -25,6 +25,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from flasht5_tpu.runtime import interpret_mode
+from flasht5_tpu.ops.flash_attention import _compiler_params
+import os as _os
 _IGNORE = -100
 
 
@@ -143,12 +145,16 @@ def _bwd_kernel(logits_ref, labels_ref, lse_ref, dloss_ref, dz_ref,
 
 def _row_block(v: int) -> int:
     # The bwd kernel holds the logits block, the dlogits block, and fp32
-    # temporaries at once — budget ~2MB fp32 per (br, V) buffer (16 rows at
-    # vocab 32768). Round-1 used 1MB (8 rows): at 2048 train rows that was
-    # 256 programs whose per-program overhead alone (~2-5us) accounted for
-    # most of the measured 1.16ms CE forward. 4MB (32 rows) overflows the
-    # 16MB scoped-VMEM limit by 32KB in the bwd (measured on v5e).
-    br = max(1, (2 * 1024 * 1024) // (4 * v))
+    # temporaries at once — budget ~4MB fp32 per (br, V) buffer (32 rows at
+    # vocab 32768; FLASHT5_CE_ROWS overrides for A/B). Round-1 used 1MB
+    # (8 rows): at 2048 train rows that was 256 programs whose per-program
+    # overhead alone (~2-5us) accounted for most of the measured 1.16ms CE
+    # forward. 32 rows needs the raised vmem_limit_bytes passed below (it
+    # overflows Mosaic's default 16MB scoped budget by 32KB on v5e).
+    env = _os.environ.get("FLASHT5_CE_ROWS")
+    if env:
+        return max(1, int(env))
+    br = max(1, (4 * 1024 * 1024) // (4 * v))
     b = 8
     while b * 2 <= min(br, 256):
         b *= 2
@@ -208,6 +214,8 @@ def _ce_call(logits, labels, *, kernel, extra_inputs=(), out_shapes,
         kern, grid=grid, in_specs=in_specs,
         out_specs=[s for s, _ in out_shapes],
         out_shape=[o for _, o in out_shapes],
+        compiler_params=_compiler_params(
+            ("arbitrary",), vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret_mode(),
     )(logits, labels.reshape(-1, 1).astype(jnp.int32), *extra_inputs)
 

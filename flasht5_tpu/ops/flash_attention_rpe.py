@@ -884,12 +884,15 @@ def _bwd(q, k, v, w, causal, sm_scale, bidirectional, num_buckets,
     if (fused and use_table and n_j == 1
             and _os.environ.get("FLASHT5_RPE_FWD_RESIDENT", "1") != "0"
             and 2 * batch * block_n * d * 4 <= 8 * 1024 * 1024):
-        # This kernel's own q-tile: at block_m=256 the kernel sat 880KB over
-        # the 16MB scoped-vmem limit in some surrounding programs (fwd+bwd
-        # without optimizer); 128 clears it with margin and the same MXU
-        # shapes. FLASHT5_RPE_BWD_BM overrides for A/B.
-        bm2 = min(block_m, max(16, int(
-            _os.environ.get("FLASHT5_RPE_BWD_BM", "128"))))
+        # Bwd q-tile sweep on a full v5e train step (round 2, bwd-only knob):
+        # 128 -> 119.5k tok/s, 256 -> 122.2-123.5k (plateau; repeats within
+        # ~1k noise). Bigger tiles amortize per-program overhead (~2-5us x
+        # 512 programs at 128); the skew-roll dW cost grows with block_m and
+        # cancels further gains. Needs the raised vmem_limit_bytes below
+        # (at 256 the kernel exceeds Mosaic's 16MB default scoped budget).
+        # FLASHT5_RPE_BWD_BM overrides for A/B (capped by the padded M).
+        bm2 = min(mp, max(16, int(
+            _os.environ.get("FLASHT5_RPE_BWD_BM", "256"))))
         while mp % bm2:
             bm2 //= 2
         g2, t2, _ = _offset_geometry(mp, np_, bm2, block_n)

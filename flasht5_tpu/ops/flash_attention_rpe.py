@@ -671,7 +671,7 @@ def _bwd_fused_kernel(q_ref, k_ref, v_ref, w_ref, bias_ref, brange_ref,
 
 def _bwd_fused_kernel_nj1(q_ref, k_ref, v_ref, bias_ref, lse_ref, delta_ref,
                           do_ref, dq_ref, dk_ref, dv_ref, dw_ref,
-                          dk_scr, dv_scr, *,
+                          dk_scr, dv_scr, g_scr, *,
                           sm_scale, causal, bidirectional, num_buckets,
                           max_distance, m_len, n_len, block_m, block_n,
                           dw_mode, full_tile=False):
@@ -684,6 +684,12 @@ def _bwd_fused_kernel_nj1(q_ref, k_ref, v_ref, bias_ref, lse_ref, delta_ref,
     scratch (their output blocks change every inner step, so they cannot be
     the accumulator), and dW accumulates directly in its output block, whose
     index is constant for the whole grid.
+
+    dW batch-summing: every (h, i, b) visit shares one tile geometry, so the
+    score gradient is summed over the batch sweep in a resident g_scr tile
+    and the skew-roll diagonal binning (the dominant VPU cost of this kernel)
+    runs ONCE per (h, i) instead of once per program — 1/batch the skew work
+    for one extra (BM, BN) add per visit.
     """
     h = pl.program_id(0)
     i = pl.program_id(1)
@@ -746,9 +752,23 @@ def _bwd_fused_kernel_nj1(q_ref, k_ref, v_ref, bias_ref, lse_ref, delta_ref,
         g.astype(k_ref.dtype), k, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32) * sm_scale
 
-    _dw_accum(dw_ref, g, h, i, 0, mode=dw_mode, block_m=block_m,
-              block_n=block_n, bidirectional=bidirectional,
-              num_buckets=num_buckets, max_distance=max_distance)
+    if dw_mode != "skip":
+        n_b = pl.num_programs(2)
+
+        @pl.when(b == 0)
+        def _g_init():
+            g_scr[...] = g
+
+        @pl.when(b != 0)
+        def _g_accum():
+            g_scr[...] += g
+
+        @pl.when(b == n_b - 1)
+        def _g_bin():
+            _dw_accum(dw_ref, g_scr[...], h, i, 0, mode=dw_mode,
+                      block_m=block_m, block_n=block_n,
+                      bidirectional=bidirectional, num_buckets=num_buckets,
+                      max_distance=max_distance)
 
 
 def _bwd_dq_kernel(q_ref, k_ref, v_ref, w_ref, bias_ref, brange_ref, lse_ref,
@@ -966,6 +986,7 @@ def _bwd(q, k, v, w, causal, sm_scale, bidirectional, num_buckets,
             scratch_shapes=[
                 pltpu.VMEM((batch, block_n, d), jnp.float32),
                 pltpu.VMEM((batch, block_n, d), jnp.float32),
+                pltpu.VMEM((bm2, block_n), jnp.float32),
             ],
             compiler_params=_compiler_params(
                 ("arbitrary", "arbitrary", "arbitrary"),

@@ -27,9 +27,13 @@ from flasht5_tpu.runtime import interpret_mode
 
 
 class QuantizedTensor(NamedTuple):
-    """Per-output-channel symmetric INT8 tensor: w ≈ qvalues * scales.
+    """Symmetric weight-only tensor: w ≈ qvalues * expand(scales).
 
-    qvalues: (in, out) int8; scales: (1, out) float32.
+    qvalues: (in, out) int8 or fp8-e4m3; scales: (groups, out) float32 where
+    `groups` divides `in` — groups == 1 is plain per-output-channel scaling,
+    groups > 1 is sub-channel ("group-wise") scaling over contiguous
+    input-dim slices of size in/groups (finer scales → smaller rounding
+    error where a column has outliers).
     Registered as a pytree (NamedTuple), so it slots into parameter trees.
     """
     qvalues: jnp.ndarray
@@ -43,30 +47,58 @@ class QuantizedTensor(NamedTuple):
     def ndim(self):
         return self.qvalues.ndim
 
+    @property
+    def group_size(self):
+        return self.qvalues.shape[0] // self.scales.shape[0]
 
-def quantize_int8(w: jnp.ndarray) -> QuantizedTensor:
-    """Symmetric per-output-channel (last axis) INT8 quantization."""
+
+def _group_absmax(w32: jnp.ndarray, group_size) -> jnp.ndarray:
+    """(groups, out) absmax over contiguous input-dim groups."""
+    k, n = w32.shape
+    if group_size is None or group_size >= k:
+        return jnp.max(jnp.abs(w32), axis=0, keepdims=True)
+    assert k % group_size == 0, (k, group_size)
+    return jnp.max(jnp.abs(w32.reshape(k // group_size, group_size, n)),
+                   axis=1)
+
+
+def _expand_scales(scales: jnp.ndarray, k: int) -> jnp.ndarray:
+    """(groups, out) -> (k, out) by repeating each group's row."""
+    g, n = scales.shape
+    if g == 1:
+        return scales  # broadcasts
+    return jnp.broadcast_to(scales[:, None, :], (g, k // g, n)).reshape(k, n)
+
+
+def quantize_int8(w: jnp.ndarray, group_size: int | None = None
+                  ) -> QuantizedTensor:
+    """Symmetric INT8 quantization, per-output-channel (group_size=None) or
+    group-wise over `group_size` input rows."""
     w32 = w.astype(jnp.float32)
-    absmax = jnp.max(jnp.abs(w32), axis=0, keepdims=True)
+    absmax = _group_absmax(w32, group_size)
     scales = jnp.where(absmax > 0, absmax / 127.0, 1.0)
-    q = jnp.clip(jnp.round(w32 / scales), -127, 127).astype(jnp.int8)
+    s_full = _expand_scales(scales, w32.shape[0])
+    q = jnp.clip(jnp.round(w32 / s_full), -127, 127).astype(jnp.int8)
     return QuantizedTensor(q, scales)
 
 
-def quantize_fp8(w: jnp.ndarray) -> QuantizedTensor:
-    """Per-output-channel FP8 (e4m3) quantization: scale each column so its
+def quantize_fp8(w: jnp.ndarray, group_size: int | None = None
+                 ) -> QuantizedTensor:
+    """FP8 (e4m3) quantization: scale each column (or input-dim group) so its
     absmax maps to the e4m3 max (448); 4 bits of mantissa beat int8 for
     near-zero weights at the same byte width (north-star: "INT8/FP8
     weight-only")."""
     w32 = w.astype(jnp.float32)
-    absmax = jnp.max(jnp.abs(w32), axis=0, keepdims=True)
+    absmax = _group_absmax(w32, group_size)
     scales = jnp.where(absmax > 0, absmax / 448.0, 1.0)
-    q = (w32 / scales).astype(jnp.float8_e4m3fn)
+    s_full = _expand_scales(scales, w32.shape[0])
+    q = (w32 / s_full).astype(jnp.float8_e4m3fn)
     return QuantizedTensor(q, scales)
 
 
 def dequantize(qt: QuantizedTensor, dtype=jnp.float32) -> jnp.ndarray:
-    return (qt.qvalues.astype(jnp.float32) * qt.scales).astype(dtype)
+    s_full = _expand_scales(qt.scales, qt.qvalues.shape[0])
+    return (qt.qvalues.astype(jnp.float32) * s_full).astype(dtype)
 
 
 def quant_matmul_ref(x: jnp.ndarray, qt: QuantizedTensor) -> jnp.ndarray:
@@ -78,7 +110,8 @@ def quant_matmul_ref(x: jnp.ndarray, qt: QuantizedTensor) -> jnp.ndarray:
 # Pallas fused dequant-matmul
 # ---------------------------------------------------------------------------
 
-def _qmm_kernel(x_ref, q_ref, s_ref, o_ref, acc_scr, *, n_k: int):
+def _qmm_kernel(x_ref, q_ref, s_ref, o_ref, acc_scr, *, n_k: int,
+                per_group: bool):
     k = pl.program_id(2)
 
     @pl.when(k == 0)
@@ -87,12 +120,25 @@ def _qmm_kernel(x_ref, q_ref, s_ref, o_ref, acc_scr, *, n_k: int):
 
     w = q_ref[...].astype(jnp.bfloat16)          # dequant on VPU
     x = x_ref[...].astype(jnp.bfloat16)
-    acc_scr[...] += jax.lax.dot_general(
+    part = jax.lax.dot_general(
         x, w, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    if per_group:
+        # group-wise scales: each k-tile lies inside one input-dim group, so
+        # its scale is per-column-constant and distributes over the partial
+        # product — the MXU still runs pure bf16. s_ref is (1, 1, bn) (the
+        # group axis is the leading block dim, kept size-1 so the trailing
+        # two dims satisfy Mosaic's (8, 128)-divisibility rule).
+        acc_scr[...] += part * s_ref[0].astype(jnp.float32)
+    else:
+        acc_scr[...] += part
 
     @pl.when(k == n_k - 1)
     def _finalize():
-        o_ref[...] = (acc_scr[...] * s_ref[...].astype(jnp.float32)).astype(o_ref.dtype)
+        if per_group:
+            o_ref[...] = acc_scr[...].astype(o_ref.dtype)
+        else:
+            o_ref[...] = (acc_scr[...]
+                          * s_ref[...].astype(jnp.float32)).astype(o_ref.dtype)
 
 
 def quant_matmul(x: jnp.ndarray, qt: QuantizedTensor,
@@ -102,8 +148,9 @@ def quant_matmul(x: jnp.ndarray, qt: QuantizedTensor,
 
     x: (..., K); qt: (K, N) -> (..., N). The weight tile is upcast to bf16 on
     the VPU regardless of storage dtype (v5e has no fp8 MXU; the win is HBM
-    bytes, not MXU rate), and scales are applied to the fp32 accumulator at
-    the end (exact for per-output-channel scaling), so the MXU runs pure bf16.
+    bytes, not MXU rate), and scales are applied to the fp32 accumulator —
+    once at the end for per-output-channel scaling, per k-tile for group-wise
+    scaling — so the MXU runs pure bf16 either way.
     """
     orig_shape = x.shape
     k_dim = orig_shape[-1]
@@ -114,6 +161,14 @@ def quant_matmul(x: jnp.ndarray, qt: QuantizedTensor,
     bm = min(block_m, max(8, ((m_dim + 7) // 8) * 8))
     bn = min(block_n, n_dim)
     bk = min(block_k, k_dim)
+    n_groups = qt.scales.shape[0]
+    per_group = n_groups > 1
+    if per_group:
+        # every k-tile must lie inside one scale group: shrink the k-tile to
+        # the group size unless the group is a multiple of the tile
+        gs = k_dim // n_groups
+        if not (gs > bk and gs % bk == 0):
+            bk = gs
     if n_dim % bn or k_dim % bk or qt.qvalues.dtype not in (
             jnp.int8, jnp.float8_e4m3fn):
         # awkward shapes or exotic storage: XLA path (still fuses the dequant)
@@ -124,13 +179,24 @@ def quant_matmul(x: jnp.ndarray, qt: QuantizedTensor,
         x2 = jnp.pad(x2, ((0, pad_m), (0, 0)))
     grid = (x2.shape[0] // bm, n_dim // bn, k_dim // bk)
 
+    if per_group:
+        # (groups, 1, N) so the scale block's trailing dims are (1, bn)
+        scales_in = qt.scales[:, None, :]
+        s_spec = pl.BlockSpec(
+            (1, 1, bn),
+            lambda i, j, k: ((k * bk) // (k_dim // n_groups), 0, j),
+            memory_space=pltpu.VMEM)
+    else:
+        scales_in = qt.scales
+        s_spec = pl.BlockSpec((1, bn), lambda i, j, k: (0, j),
+                              memory_space=pltpu.VMEM)
     out = pl.pallas_call(
-        functools.partial(_qmm_kernel, n_k=grid[2]),
+        functools.partial(_qmm_kernel, n_k=grid[2], per_group=per_group),
         grid=grid,
         in_specs=[
             pl.BlockSpec((bm, bk), lambda i, j, k: (i, k), memory_space=pltpu.VMEM),
             pl.BlockSpec((bk, bn), lambda i, j, k: (k, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bn), lambda i, j, k: (0, j), memory_space=pltpu.VMEM),
+            s_spec,
         ],
         out_specs=pl.BlockSpec((bm, bn), lambda i, j, k: (i, j),
                                memory_space=pltpu.VMEM),
@@ -138,7 +204,7 @@ def quant_matmul(x: jnp.ndarray, qt: QuantizedTensor,
         scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
         compiler_params=_compiler_params(("parallel", "parallel", "arbitrary")),
         interpret=interpret_mode(),
-    )(x2, qt.qvalues, qt.scales)
+    )(x2, qt.qvalues, scales_in)
     return out[:m_dim].reshape(*orig_shape[:-1], n_dim)
 
 

@@ -146,3 +146,60 @@ def test_quantize_params_fp8_forward():
     out_f = t5.forward(config, params, input_ids=ids, labels=lbl)
     np.testing.assert_allclose(np.asarray(out_q["logits"]),
                                np.asarray(out_f["logits"]), atol=0.2, rtol=0.5)
+
+
+# ---------------------------------------------------------------------------
+# Group-wise (sub-channel) scaling
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("mode,group", [("int8", 128), ("int8", 64),
+                                        ("fp8", 128)])
+def test_groupwise_quantize_roundtrip(mode, group):
+    from flasht5_tpu.ops.quant import quantize_fp8
+    quantizer = {"int8": quantize_int8, "fp8": quantize_fp8}[mode]
+    # outlier rows make per-channel scales coarse; group-wise must win
+    w = np.array(jax.random.normal(jax.random.PRNGKey(0), (512, 256)))
+    w[::97] *= 20.0
+    w = jnp.asarray(w)
+    qt_pc = quantizer(w)
+    qt_g = quantizer(w, group)
+    assert qt_g.scales.shape == (512 // group, 256)
+    assert qt_g.group_size == group
+    err_pc = float(jnp.abs(dequantize(qt_pc) - w).mean())
+    err_g = float(jnp.abs(dequantize(qt_g) - w).mean())
+    assert err_g < err_pc
+
+
+@pytest.mark.parametrize("mode,group,k", [("int8", 128, 512), ("fp8", 128, 512),
+                                          ("int8", 256, 1024),
+                                          ("int8", 1024, 1024)])
+def test_groupwise_quant_matmul_kernel(mode, group, k):
+    from flasht5_tpu.ops.quant import quantize_fp8
+    quantizer = {"int8": quantize_int8, "fp8": quantize_fp8}[mode]
+    x = jax.random.normal(jax.random.PRNGKey(0), (64, k), jnp.float32)
+    w = jax.random.normal(jax.random.PRNGKey(1), (k, 512), jnp.float32) * 0.05
+    qt = quantizer(w, group)
+    out = quant_matmul(x, qt)
+    ref = quant_matmul_ref(x, qt)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-2,
+                               rtol=1e-2)
+
+
+def test_quantize_params_groupwise_forward():
+    config = FlashT5Config(
+        vocab_size=128, d_model=64, d_kv=16, num_heads=4, d_ff=256,
+        num_layers=2, num_decoder_layers=2, dropout_rate=0.0,
+        attention_type="ref", pad_token_id=0)
+    params = t5.init_params(jax.random.PRNGKey(0), config)
+    qp = quantize_params(params, "fp8", group_size=32)
+    # scales really are grouped on the quantized linears
+    wq = qp["encoder"]["block"][0]["self_attention_layer"][
+        "self_attention"]["Wq"]
+    assert isinstance(wq, QuantizedTensor)
+    assert wq.scales.shape[0] == wq.qvalues.shape[0] // 32
+    ids = jnp.arange(24, dtype=jnp.int32).reshape(2, 12) % 100
+    labels = jnp.arange(16, dtype=jnp.int32).reshape(2, 8) % 100
+    out_fp = t5.forward(config, params, input_ids=ids, labels=labels)
+    out_q = t5.forward(config, qp, input_ids=ids, labels=labels)
+    assert np.isfinite(float(out_q["loss"]))
+    assert abs(float(out_q["loss"]) - float(out_fp["loss"])) < 0.35

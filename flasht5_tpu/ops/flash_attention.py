@@ -311,6 +311,52 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, bias_ref, lse_ref, delta_ref, do_ref,
             dbias_ref[0, 0] = g.astype(dbias_ref.dtype)
 
 
+def _bwd_fused_nj1_kernel(q_ref, k_ref, v_ref, bias_ref, lse_ref, delta_ref,
+                          do_ref, dq_ref, dk_ref, dv_ref, *, sm_scale, causal,
+                          m_len, n_len, block_m, block_n, has_bias,
+                          full_tile=False):
+    """Single-sweep backward for the single-KV-tile case (N fits one block_n),
+    grid (b, h, i): p is recomputed ONCE per tile and dq/dk/dv all come from
+    it — the two-pass form recomputes the score tile and softmax twice. dk/dv
+    output blocks are (b, h)-indexed, constant across the inner i sweep, so
+    they accumulate in place (sequential TPU grid). This is the flagship
+    decoder cross-attention shape (M=256 queries over N=1024 encoder keys,
+    no bias; reference modeling_flash_t5.py:272-291 runs the same kernel for
+    self- and cross-attention)."""
+    i = pl.program_id(2)
+
+    @pl.when(i == 0)
+    def _init():
+        dk_ref[...] = jnp.zeros_like(dk_ref)
+        dv_ref[...] = jnp.zeros_like(dv_ref)
+
+    run = True
+    if causal:
+        run = 0 <= i * block_m + block_m - 1 + (n_len - m_len)
+
+    @pl.when(run)
+    def _compute():
+        p, g, q, k, do = _recompute_p_and_g(
+            q_ref, k_ref, v_ref, bias_ref, lse_ref, delta_ref, do_ref,
+            i=i, j=0, sm_scale=sm_scale, causal=causal, m_len=m_len,
+            n_len=n_len, block_m=block_m, block_n=block_n, has_bias=has_bias,
+            full_tile=full_tile)
+        dv_ref[0, 0] += jax.lax.dot_general(
+            p.astype(do_ref.dtype), do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dk_ref[0, 0] += jax.lax.dot_general(
+            g.astype(q_ref.dtype), q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * sm_scale
+        dq_ref[0, 0] = jax.lax.dot_general(
+            g.astype(k_ref.dtype), k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * sm_scale
+
+    if causal:
+        @pl.when(jnp.logical_not(run))
+        def _zero_dq():
+            dq_ref[0, 0] = jnp.zeros_like(dq_ref[0, 0])
+
+
 def _bwd_dq_kernel(q_ref, k_ref, v_ref, bias_ref, lse_ref, delta_ref, do_ref,
                    dq_ref, *, sm_scale, causal, m_len, n_len, block_m, block_n,
                    has_bias, full_tile=False):
@@ -362,6 +408,65 @@ def _bwd(q, k, v, bias, causal, sm_scale, block_m, block_n, lse, o, do,
                                  lambda b, h, j, i: (0, 0, 0, 0),
                                  memory_space=pltpu.VMEM)
 
+    full_tile = (not causal and mp == m_len and np_ == n_len)
+
+    # single KV tile and no bias gradient wanted: single-sweep fused kernel
+    # (p recomputed once; the two-pass form below recomputes it per pass)
+    if np_ // block_n == 1 and not want_dbias:
+        if has_bias:
+            bb = 0 if bias.shape[0] == 1 else None
+            hb = 0 if bias.shape[1] == 1 else None
+            bspec3 = pl.BlockSpec(
+                (1, 1, block_m, block_n),
+                lambda b, h, i: (bb if bb is not None else b,
+                                 hb if hb is not None else h, i, 0),
+                memory_space=pltpu.VMEM)
+        else:
+            bspec3 = pl.BlockSpec((1, 1, block_m, block_n),
+                                  lambda b, h, i: (0, 0, 0, 0),
+                                  memory_space=pltpu.VMEM)
+        dq, dk, dv = pl.pallas_call(
+            functools.partial(
+                _bwd_fused_nj1_kernel, sm_scale=sm_scale, causal=causal,
+                m_len=m_len, n_len=n_len, block_m=block_m, block_n=block_n,
+                has_bias=has_bias, full_tile=full_tile),
+            grid=(batch, heads, mp // block_m),
+            in_specs=[
+                pl.BlockSpec((1, 1, block_m, d), lambda b, h, i: (b, h, i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, block_n, d), lambda b, h, i: (b, h, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, block_n, d), lambda b, h, i: (b, h, 0, 0),
+                             memory_space=pltpu.VMEM),
+                bspec3,
+                pl.BlockSpec((1, 1, block_m, 1), lambda b, h, i: (b, h, i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, block_m, 1), lambda b, h, i: (b, h, i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, block_m, d), lambda b, h, i: (b, h, i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, 1, block_m, d), lambda b, h, i: (b, h, i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, block_n, d), lambda b, h, i: (b, h, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, block_n, d), lambda b, h, i: (b, h, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct(qp.shape, jnp.float32),
+                jax.ShapeDtypeStruct(kp.shape, jnp.float32),
+                jax.ShapeDtypeStruct(vp.shape, jnp.float32),
+            ],
+            compiler_params=_compiler_params(
+                ("parallel", "parallel", "arbitrary")),
+            interpret=interpret_mode(),
+        )(qp, kp, vp, bias_in, lsep, deltap, dop)
+        return (dq[:, :, :m_len].astype(q.dtype),
+                dk[:, :, :n_len].astype(k.dtype),
+                dv[:, :, :n_len].astype(v.dtype), None)
+
     # ---- dk/dv (+ dbias) ----
     in_specs_kv = [
         pl.BlockSpec((1, 1, block_m, d), lambda b, h, j, i: (b, h, i, 0),
@@ -393,7 +498,6 @@ def _bwd(q, k, v, bias, causal, sm_scale, block_m, block_n, lse, o, do,
                                        lambda b, h, j, i: (0, 0, 0, 0),
                                        memory_space=pltpu.VMEM)
     grid_kv = (batch, heads, np_ // block_n, mp // block_m)
-    full_tile = (not causal and mp == m_len and np_ == n_len)
     kern_kv = functools.partial(
         _bwd_dkv_kernel, sm_scale=sm_scale, causal=causal, m_len=m_len,
         n_len=n_len, block_m=block_m, block_n=block_n, has_bias=has_bias,

@@ -193,10 +193,15 @@ def _fwd_kernel_nj1(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, *,
     pipeline elides its copy across the whole batch sweep, cutting the
     dominant bias HBM stream by ~batch x (the offset-table stream measured
     ~14 ms/step of pure bias traffic at batch 8 under the (b,h,i,j) order).
+
+    k/v blocks span ALL batches (their index depends only on h), so their
+    HBM fetch is likewise elided across the whole (i, b) sweep — once per
+    head instead of once per program.
     """
     i = pl.program_id(1)
+    b = pl.program_id(2)
     q = q_ref[0, 0]
-    k = k_ref[0, 0]
+    k = k_ref[b, 0]
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32)
     if sm_scale != 1.0:
@@ -209,7 +214,7 @@ def _fwd_kernel_nj1(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, *,
         m = jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp(s - m)
         l = jnp.sum(p, axis=-1, keepdims=True)
-        pv = jax.lax.dot_general(p.astype(v_ref.dtype), v_ref[0, 0],
+        pv = jax.lax.dot_general(p.astype(v_ref.dtype), v_ref[b, 0],
                                  (((1,), (0,)), ((), ())),
                                  preferred_element_type=jnp.float32)
         o_ref[0, 0] = (pv / l).astype(o_ref.dtype)
@@ -227,7 +232,7 @@ def _fwd_kernel_nj1(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, *,
     p = jnp.where(mask, jnp.exp(s - m_safe), 0.0)
     l = jnp.sum(p, axis=-1, keepdims=True)
     l_safe = jnp.where(l > 0.0, l, 1.0)
-    pv = jax.lax.dot_general(p.astype(v_ref.dtype), v_ref[0, 0],
+    pv = jax.lax.dot_general(p.astype(v_ref.dtype), v_ref[b, 0],
                              (((1,), (0,)), ((), ())),
                              preferred_element_type=jnp.float32)
     o_ref[0, 0] = (pv / l_safe).astype(o_ref.dtype)
@@ -385,11 +390,13 @@ def _fwd(q, k, v, w, causal, sm_scale, bidirectional, num_buckets,
                     pl.BlockSpec((1, 1, block_m, d),
                                  lambda h, i, b: (b, h, i, 0),
                                  memory_space=pltpu.VMEM),
-                    pl.BlockSpec((1, 1, block_n, d),
-                                 lambda h, i, b: (b, h, 0, 0),
+                    # k/v span all batches; index depends only on h, so the
+                    # fetch is elided across the whole (i, b) sweep
+                    pl.BlockSpec((batch, 1, block_n, d),
+                                 lambda h, i, b: (0, h, 0, 0),
                                  memory_space=pltpu.VMEM),
-                    pl.BlockSpec((1, 1, block_n, d),
-                                 lambda h, i, b: (b, h, 0, 0),
+                    pl.BlockSpec((batch, 1, block_n, d),
+                                 lambda h, i, b: (0, h, 0, 0),
                                  memory_space=pltpu.VMEM),
                     pl.BlockSpec(
                         (1, 1, block_m, block_n),
@@ -410,7 +417,8 @@ def _fwd(q, k, v, w, causal, sm_scale, bidirectional, num_buckets,
                     jax.ShapeDtypeStruct((batch, heads, mp, 1), jnp.float32),
                 ],
                 compiler_params=_compiler_params(
-                    ("parallel", "arbitrary", "arbitrary")),
+                    ("parallel", "arbitrary", "arbitrary"),
+                    vmem_limit_bytes=64 * 1024 * 1024),
                 interpret=interpret_mode(),
             )(qp, kp, vp, table)
             return o[:, :, :m_len], lse[:, :, :m_len, 0]
@@ -705,7 +713,7 @@ def _bwd_fused_kernel_nj1(q_ref, k_ref, v_ref, bias_ref, lse_ref, delta_ref,
         dw_ref[...] = jnp.zeros_like(dw_ref)
 
     q = q_ref[0, 0]
-    k = k_ref[0, 0]
+    k = k_ref[b, 0]
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32)
     if sm_scale != 1.0:
@@ -730,7 +738,7 @@ def _bwd_fused_kernel_nj1(q_ref, k_ref, v_ref, bias_ref, lse_ref, delta_ref,
                       jnp.exp(s - jnp.where(lse_ok, lse, 0.0)), 0.0)
 
     do = do_ref[0, 0]
-    dp = jax.lax.dot_general(do, v_ref[0, 0], (((1,), (1,)), ((), ())),
+    dp = jax.lax.dot_general(do, v_ref[b, 0], (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
     g = p * (dp - delta_ref[0, 0])
 
@@ -933,11 +941,13 @@ def _bwd(q, k, v, w, causal, sm_scale, bidirectional, num_buckets,
                 pl.BlockSpec((1, 1, bm2, d),
                              lambda h, i, b: (b, h, i, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, block_n, d),
-                             lambda h, i, b: (b, h, 0, 0),
+                # k/v span all batches (index only on h): fetched once per
+                # head instead of once per (i, b) program
+                pl.BlockSpec((batch, 1, block_n, d),
+                             lambda h, i, b: (0, h, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, block_n, d),
-                             lambda h, i, b: (b, h, 0, 0),
+                pl.BlockSpec((batch, 1, block_n, d),
+                             lambda h, i, b: (0, h, 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, 1, bm2, block_n),
                              lambda h, i, b: (

@@ -134,6 +134,9 @@ def main():
     assert p_fp < ppl_init / 2, (ppl_init, p_fp)
     p_i8 = ppl(quantize_params(trainer.params, "int8"))
     p_f8 = ppl(quantize_params(trainer.params, "fp8"))
+    # group-wise (sub-channel) scales: finer scales, same weight bytes
+    p_i8g = ppl(quantize_params(trainer.params, "int8", group_size=64))
+    p_f8g = ppl(quantize_params(trainer.params, "fp8", group_size=64))
     payload = {
         "metric": "smoke_pretrain",
         "steps": args.steps,
@@ -143,8 +146,12 @@ def main():
         "ppl_fp": round(p_fp, 4),
         "ppl_int8": round(p_i8, 4),
         "ppl_fp8": round(p_f8, 4),
+        "ppl_int8_g64": round(p_i8g, 4),
+        "ppl_fp8_g64": round(p_f8g, 4),
         "delta_ppl_int8": round(p_i8 - p_fp, 4),
         "delta_ppl_fp8": round(p_f8 - p_fp, 4),
+        "delta_ppl_int8_g64": round(p_i8g - p_fp, 4),
+        "delta_ppl_fp8_g64": round(p_f8g - p_fp, 4),
         "tokens_per_sec": round(result["logs"][-1]["tokens_per_sec"], 1),
         "backend": jax.default_backend(),
     }

@@ -161,6 +161,11 @@ def main():
         fh.write("Generated by tools/speed_of_light_tpu.py — differential\n"
                  "chained-loop timing (dispatch overhead cancelled). `sol` =\n"
                  "fraction of the binding roofline achieved.\n\n")
+        fh.write("CAVEAT: per-kernel microbenchmarks on the shared tunneled\n"
+                 "dev chip vary up to ~2-4x between runs under load. Treat\n"
+                 "the end-to-end train bench (bench.py, stable to ~1.5%\n"
+                 "across runs) as ground truth; these rows identify which\n"
+                 "kernels have headroom, not absolute claims.\n\n")
         fh.write("| kernel | ms/call | TFLOPS | GB/s | bound | sol |\n")
         fh.write("|---|---|---|---|---|---|\n")
         for tag, d in ROWS:

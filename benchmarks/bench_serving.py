@@ -5,6 +5,7 @@ Runs FAT5-small-shaped serving in three precision modes: bf16, INT8 weights,
 INT8 weights + INT8 KV cache. Prints one JSON line per mode.
 """
 
+import argparse
 import json
 import sys
 import time
@@ -17,6 +18,13 @@ import numpy as np
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps_per_sync", type=int, default=8,
+                    help="decode steps per host sync (lax.scan window); "
+                         "bigger windows amortize the ~25ms tunnel "
+                         "round-trip, at bounded over-decode cost")
+    ap.add_argument("--max_new", type=int, default=None)
+    args = ap.parse_args()
     from flasht5_tpu.runtime import enable_compilation_cache
     enable_compilation_cache()
     from __graft_entry__ import _flagship_config
@@ -30,6 +38,8 @@ def main():
 
     n_req = 32 if on_tpu else 6
     enc_len, max_new = (512, 64) if on_tpu else (16, 8)
+    if args.max_new:
+        max_new = args.max_new
     slots = 8 if on_tpu else 3
     rng = np.random.default_rng(0)
     mk_reqs = lambda: [
@@ -40,7 +50,8 @@ def main():
         for i in range(n_req)
     ]
     ecfg_base = dict(max_slots=slots, max_decode_len=max_new + 2,
-                     max_encode_len=enc_len, encode_buckets=(enc_len,))
+                     max_encode_len=enc_len, encode_buckets=(enc_len,),
+                     steps_per_sync=args.steps_per_sync)
 
     modes = [
         ("bf16", params, "native", False),
@@ -70,6 +81,7 @@ def main():
             "unit": "tokens/s/chip",
             "p50_ttft_ms": round(ttft * 1e3, 1),
             "requests": n_req,
+            "steps_per_sync": args.steps_per_sync,
             "vs_baseline": None,
         }), flush=True)
 

@@ -114,6 +114,19 @@ def _bias_from_buckets(bucket, w_ref, h, num_buckets):
     return bias
 
 
+def _bfold_ok(batch, block_n, d):
+    """Default-ON gate for the batch-folded nj1 kernels (grid (h, i), batch
+    loop unrolled in-body). Measured 139.1k vs 134.0k tok/s on the full
+    fat5-small train step (v5e, round-2 on-chip A/B) — the unrolled body lets
+    Mosaic overlap one batch's softmax VPU work with another's MXU matmuls,
+    which grid-step boundaries serialize. Gated on the batch-resident
+    k/v (+fp32 dk/dv accumulators in the bwd) fitting comfortably in VMEM,
+    and opt-out via FLASHT5_RPE_BFOLD=0."""
+    if _os.environ.get("FLASHT5_RPE_BFOLD", "1") == "0":
+        return False
+    return batch * block_n * d * (4 + 4 + 2 + 2) <= 16 * 1024 * 1024
+
+
 def _dw_mode():
     """dW accumulation strategy (read at trace time).
 
@@ -237,6 +250,58 @@ def _fwd_kernel_nj1(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, *,
                              preferred_element_type=jnp.float32)
     o_ref[0, 0] = (pv / l_safe).astype(o_ref.dtype)
     lse_ref[0, 0] = jnp.where(l > 0.0, m_safe + jnp.log(l_safe), _NEG_INF)
+
+
+def _fwd_kernel_nj1_bfold(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, *,
+                          sm_scale, causal, m_len, n_len, block_m, block_n,
+                          batch, full_tile=False):
+    """Batch-folded single-KV-tile forward: grid (h, i), the batch loop
+    statically unrolled INSIDE the kernel (opt-in, FLASHT5_RPE_BFOLD=1).
+
+    Vs the (h, i, b) grid form: 8x fewer grid steps, and — the real goal —
+    the unrolled body exposes `batch` independent MXU->VPU->MXU chains to
+    Mosaic's static scheduler, so the softmax VPU work of one batch can
+    overlap the score/PV matmuls of another. Grid-step boundaries serialize
+    that overlap in the per-batch form (copies pipeline across steps,
+    compute does not)."""
+    i = pl.program_id(1)
+    if not full_tile:
+        rows = i * block_m + jax.lax.broadcasted_iota(
+            jnp.int32, (block_m, block_n), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (block_m, block_n), 1)
+        mask = cols < n_len
+        if causal:
+            mask = mask & (cols <= rows + (n_len - m_len))
+    bias = bias_ref[0, 0]
+    for b in range(batch):
+        s = jax.lax.dot_general(q_ref[b, 0], k_ref[b, 0],
+                                (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        if sm_scale != 1.0:
+            s = s * sm_scale
+        s = s + bias
+        if full_tile:
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s - m)
+            l = jnp.sum(p, axis=-1, keepdims=True)
+            pv = jax.lax.dot_general(p.astype(v_ref.dtype), v_ref[b, 0],
+                                     (((1,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            o_ref[b, 0] = (pv / l).astype(o_ref.dtype)
+            lse_ref[b, 0] = m + jnp.log(l)
+            continue
+        s = jnp.where(mask, s, _NEG_INF)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        m_safe = jnp.where(m > _NEG_INF / 2, m, 0.0)
+        p = jnp.where(mask, jnp.exp(s - m_safe), 0.0)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        l_safe = jnp.where(l > 0.0, l, 1.0)
+        pv = jax.lax.dot_general(p.astype(v_ref.dtype), v_ref[b, 0],
+                                 (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        o_ref[b, 0] = (pv / l_safe).astype(o_ref.dtype)
+        lse_ref[b, 0] = jnp.where(l > 0.0, m_safe + jnp.log(l_safe),
+                                  _NEG_INF)
 
 
 def _fwd_kernel(q_ref, k_ref, v_ref, w_ref, o_ref, lse_ref,
@@ -375,6 +440,50 @@ def _fwd(q, k, v, w, causal, sm_scale, bidirectional, num_buckets,
             w, mp, np_, block_m, block_n, bidirectional=bidirectional,
             num_buckets=num_buckets, max_distance=max_distance,
             dtype=_table_dtype(q.dtype))
+        if (n_j == 1 and _bfold_ok(batch, block_n, d)):
+            # batch-folded resident-bias specialization (see kernel doc)
+            o, lse = pl.pallas_call(
+                functools.partial(
+                    _fwd_kernel_nj1_bfold, sm_scale=sm_scale, causal=causal,
+                    m_len=m_len, n_len=n_len, block_m=block_m,
+                    block_n=block_n, batch=batch,
+                    full_tile=(not causal and mp == m_len
+                               and np_ == n_len)),
+                grid=(heads, n_i),
+                in_specs=[
+                    pl.BlockSpec((batch, 1, block_m, d),
+                                 lambda h, i: (0, h, i, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((batch, 1, block_n, d),
+                                 lambda h, i: (0, h, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((batch, 1, block_n, d),
+                                 lambda h, i: (0, h, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec(
+                        (1, 1, block_m, block_n),
+                        lambda h, i: (
+                            (-i * block_m - t_min) // g_off, h, 0, 0),
+                        memory_space=pltpu.VMEM),
+                ],
+                out_specs=[
+                    pl.BlockSpec((batch, 1, block_m, d),
+                                 lambda h, i: (0, h, i, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((batch, 1, block_m, 1),
+                                 lambda h, i: (0, h, i, 0),
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_shape=[
+                    jax.ShapeDtypeStruct(qp.shape, q.dtype),
+                    jax.ShapeDtypeStruct((batch, heads, mp, 1), jnp.float32),
+                ],
+                compiler_params=_compiler_params(
+                    ("parallel", "arbitrary"),
+                    vmem_limit_bytes=96 * 1024 * 1024),
+                interpret=interpret_mode(),
+            )(qp, kp, vp, table)
+            return o[:, :, :m_len], lse[:, :, :m_len, 0]
         if (n_j == 1
                 and _os.environ.get("FLASHT5_RPE_FWD_RESIDENT", "1") != "0"):
             # batch-innermost resident-bias specialization (see kernel doc)
@@ -779,6 +888,82 @@ def _bwd_fused_kernel_nj1(q_ref, k_ref, v_ref, bias_ref, lse_ref, delta_ref,
                       max_distance=max_distance)
 
 
+def _bwd_fused_kernel_nj1_bfold(q_ref, k_ref, v_ref, bias_ref, lse_ref,
+                                delta_ref, do_ref, dq_ref, dk_ref, dv_ref,
+                                dw_ref, *, sm_scale, causal, bidirectional,
+                                num_buckets, max_distance, m_len, n_len,
+                                block_m, block_n, batch, dw_mode,
+                                full_tile=False):
+    """Batch-folded single-KV-tile fused backward, grid (h, i) with the batch
+    loop statically unrolled inside (opt-in, FLASHT5_RPE_BFOLD=1).
+
+    Vs _bwd_fused_kernel_nj1: the dk/dv output blocks span all batches and
+    index only on h, so they ARE the across-i accumulators — no VMEM scratch,
+    no garbage-block copy-out routing. The unrolled body gives Mosaic `batch`
+    independent MXU->VPU chains to interleave, and the dW skew-binning (the
+    dominant VPU cost) runs once per program on the batch-summed score
+    gradient, same as the g_scr trick but on a local value."""
+    h = pl.program_id(0)
+    i = pl.program_id(1)
+
+    @pl.when(i == 0)
+    def _init_kv():
+        dk_ref[...] = jnp.zeros_like(dk_ref)
+        dv_ref[...] = jnp.zeros_like(dv_ref)
+
+    @pl.when((h == 0) & (i == 0))
+    def _init_w():
+        dw_ref[...] = jnp.zeros_like(dw_ref)
+
+    bias = bias_ref[0, 0]
+    if not full_tile:
+        rows = i * block_m + jax.lax.broadcasted_iota(
+            jnp.int32, (block_m, block_n), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (block_m, block_n), 1)
+        mask = (cols < n_len) & (rows < m_len)
+        if causal:
+            mask = mask & (cols <= rows + (n_len - m_len))
+
+    g_sum = None
+    for b in range(batch):
+        q = q_ref[b, 0]
+        k = k_ref[b, 0]
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        if sm_scale != 1.0:
+            s = s * sm_scale
+        s = s + bias
+        if full_tile:
+            p = jnp.exp(s - lse_ref[b, 0])
+        else:
+            lse = lse_ref[b, 0]
+            lse_ok = lse > _NEG_INF / 2
+            p = jnp.where(mask & lse_ok,
+                          jnp.exp(s - jnp.where(lse_ok, lse, 0.0)), 0.0)
+
+        do = do_ref[b, 0]
+        dp = jax.lax.dot_general(do, v_ref[b, 0], (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        g = p * (dp - delta_ref[b, 0])
+
+        dv_ref[b, 0] += jax.lax.dot_general(
+            p.astype(do_ref.dtype), do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dk_ref[b, 0] += jax.lax.dot_general(
+            g.astype(q_ref.dtype), q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * sm_scale
+        dq_ref[b, 0] = jax.lax.dot_general(
+            g.astype(k_ref.dtype), k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * sm_scale
+        if dw_mode != "skip":
+            g_sum = g if g_sum is None else g_sum + g
+
+    if dw_mode != "skip":
+        _dw_accum(dw_ref, g_sum, h, i, 0, mode=dw_mode, block_m=block_m,
+                  block_n=block_n, bidirectional=bidirectional,
+                  num_buckets=num_buckets, max_distance=max_distance)
+
+
 def _bwd_dq_kernel(q_ref, k_ref, v_ref, w_ref, bias_ref, brange_ref, lse_ref,
                    delta_ref, do_ref, dq_ref, *, sm_scale, causal,
                    bidirectional, num_buckets, max_distance, m_len, n_len,
@@ -929,6 +1114,74 @@ def _bwd(q, k, v, w, causal, sm_scale, bidirectional, num_buckets,
             num_buckets=num_buckets, max_distance=max_distance,
             dtype=_table_dtype(q.dtype))
         nb_j1 = max(8, ((w.shape[0] + 7) // 8) * 8)
+        if _bfold_ok(batch, block_n, d):
+            # batch-folded variant (see _bwd_fused_kernel_nj1_bfold)
+            dq, dk, dv, dw_all = pl.pallas_call(
+                functools.partial(
+                    _bwd_fused_kernel_nj1_bfold, sm_scale=sm_scale,
+                    causal=causal, bidirectional=bidirectional,
+                    num_buckets=num_buckets, max_distance=max_distance,
+                    m_len=m_len, n_len=n_len, block_m=bm2,
+                    block_n=block_n, batch=batch, dw_mode=_dw_mode(),
+                    full_tile=(not causal and mp == m_len and np_ == n_len)),
+                grid=(heads, mp // bm2),
+                in_specs=[
+                    pl.BlockSpec((batch, 1, bm2, d),
+                                 lambda h, i: (0, h, i, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((batch, 1, block_n, d),
+                                 lambda h, i: (0, h, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((batch, 1, block_n, d),
+                                 lambda h, i: (0, h, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, 1, bm2, block_n),
+                                 lambda h, i: ((-i * bm2 - t2) // g2, h, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((batch, 1, bm2, 1),
+                                 lambda h, i: (0, h, i, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((batch, 1, bm2, 1),
+                                 lambda h, i: (0, h, i, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((batch, 1, bm2, d),
+                                 lambda h, i: (0, h, i, 0),
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_specs=[
+                    pl.BlockSpec((batch, 1, bm2, d),
+                                 lambda h, i: (0, h, i, 0),
+                                 memory_space=pltpu.VMEM),
+                    # dk/dv blocks index only on h: they are the across-i
+                    # accumulators, copied out once per head
+                    pl.BlockSpec((batch, 1, block_n, d),
+                                 lambda h, i: (0, h, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((batch, 1, block_n, d),
+                                 lambda h, i: (0, h, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, nb_j1, _HEAD_LANES),
+                                 lambda h, i: (0, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_shape=[
+                    jax.ShapeDtypeStruct(qp.shape, jnp.float32),
+                    jax.ShapeDtypeStruct(kp.shape, jnp.float32),
+                    jax.ShapeDtypeStruct(vp.shape, jnp.float32),
+                    jax.ShapeDtypeStruct((1, nb_j1, _HEAD_LANES),
+                                         jnp.float32),
+                ],
+                compiler_params=_compiler_params(
+                    ("arbitrary", "arbitrary"),
+                    vmem_limit_bytes=96 * 1024 * 1024),
+                interpret=interpret_mode(),
+            )(qp, kp, vp, table2, lsep, deltap, dop)
+            nb, h_real = w.shape
+            dw = dw_all[0, :nb, :h_real].astype(w.dtype)
+            return (dq[:, :, :m_len].astype(q.dtype),
+                    dk[:, :, :n_len].astype(k.dtype),
+                    dv[:, :, :n_len].astype(v.dtype),
+                    dw)
         dq, dk, dv, dw_all = pl.pallas_call(
             functools.partial(
                 _bwd_fused_kernel_nj1, sm_scale=sm_scale, causal=causal,

@@ -169,8 +169,11 @@ def quant_matmul(x: jnp.ndarray, qt: QuantizedTensor,
         gs = k_dim // n_groups
         if not (gs > bk and gs % bk == 0):
             bk = gs
-    if n_dim % bn or k_dim % bk or qt.qvalues.dtype not in (
+    if n_dim % bn or k_dim % bk or bk % 128 or qt.qvalues.dtype not in (
             jnp.int8, jnp.float8_e4m3fn):
+        # bk % 128: Mosaic requires the x-block's minor dim be a multiple of
+        # 128, so group sizes < 128 (e.g. g64) take the XLA path (which still
+        # fuses the dequant); the Pallas kernel handles group_size >= 128.
         # awkward shapes or exotic storage: XLA path (still fuses the dequant)
         return quant_matmul_ref(x, qt)
 

@@ -240,3 +240,32 @@ def test_rpe_fwd_resident_matches_scratch_path(monkeypatch, causal, m, n):
     for a, b, name in zip(res, ref, ["o", "dq", "dk", "dv", "dw"]):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5,
                                    rtol=1e-5, err_msg=name)
+
+
+@pytest.mark.parametrize("causal,m,n", [(False, 128, 128), (True, 128, 128),
+                                        (False, 96, 160), (True, 70, 133)])
+def test_rpe_bfold_matches_default(monkeypatch, causal, m, n):
+    """The default batch-folded kernels (batch loop unrolled inside the
+    program, grid (h, i)) must match the FLASHT5_RPE_BFOLD=0 batch-innermost
+    (h, i, b) kernels: outputs and all four gradients."""
+    nb, maxd, scale = 32, 128, 0.125
+    q, k, v, w = _setup(3, 2, m, n, 64, nb, maxd, seed=23)
+
+    def vals_and_grads(q, k, v, w):
+        def loss(q_, k_, v_, w_):
+            return jnp.sum(flash_attention_rpe(
+                q_, k_, v_, w_, causal=causal, sm_scale=scale,
+                bidirectional=not causal, num_buckets=nb,
+                max_distance=maxd).astype(jnp.float32) ** 2)
+        out = flash_attention_rpe(q, k, v, w, causal=causal, sm_scale=scale,
+                                  bidirectional=not causal, num_buckets=nb,
+                                  max_distance=maxd)
+        return (out,) + jax.grad(loss, argnums=(0, 1, 2, 3))(q, k, v, w)
+
+    monkeypatch.setenv("FLASHT5_RPE_BFOLD", "0")
+    ref = vals_and_grads(q, k, v, w)
+    monkeypatch.setenv("FLASHT5_RPE_BFOLD", "1")
+    res = vals_and_grads(q, k, v, w)
+    for a, b, name in zip(res, ref, ["o", "dq", "dk", "dv", "dw"]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5,
+                                   rtol=1e-5, err_msg=name)

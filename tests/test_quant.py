@@ -203,3 +203,20 @@ def test_quantize_params_groupwise_forward():
     out_q = t5.forward(config, qp, input_ids=ids, labels=labels)
     assert np.isfinite(float(out_q["loss"]))
     assert abs(float(out_q["loss"]) - float(out_fp["loss"])) < 0.35
+
+
+@pytest.mark.parametrize("mode", ["int8", "fp8"])
+def test_groupwise_quant_matmul_sub128_group_falls_back(mode):
+    """Group sizes < 128 violate Mosaic's lane rule for the x-block k-tile;
+    quant_matmul must route them to the XLA fused-dequant path and still
+    match the oracle exactly."""
+    from flasht5_tpu.ops.quant import quantize_fp8
+    quantizer = {"int8": quantize_int8, "fp8": quantize_fp8}[mode]
+    x = jax.random.normal(jax.random.PRNGKey(0), (64, 256), jnp.float32)
+    w = jax.random.normal(jax.random.PRNGKey(1), (256, 512),
+                          jnp.float32) * 0.05
+    qt = quantizer(w, 64)
+    out = quant_matmul(x, qt)
+    ref = quant_matmul_ref(x, qt)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=0,
+                               rtol=0)

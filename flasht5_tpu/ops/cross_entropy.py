@@ -143,6 +143,138 @@ def _bwd_kernel(logits_ref, labels_ref, lse_ref, dloss_ref, dz_ref,
     dlogits_ref[...] = grad.astype(dlogits_ref.dtype)
 
 
+def _fwd_kernel_tiled(logits_ref, labels_ref, loss_ref, lse_ref, zloss_ref,
+                      m_acc, se_acc, ll_acc, sl_acc, *,
+                      n_cols: int, total_classes: int, class_start_idx: int,
+                      smoothing: float, logit_scale: float,
+                      lse_square_scale: float, ignore_index: int, split: bool,
+                      block_v: int, n_tiles: int, ragged: bool):
+    """Vocab-tiled streaming forward: grid (row_blocks, vocab_tiles) with the
+    vocab dimension sequential and online-LSE accumulators in VMEM scratch
+    (same rescaling recurrence as flash attention). Replaces the full-vocab
+    row-block kernel whose (br, V) blocks capped br at 32 and left the fwd at
+    0.27 of the HBM roofline; smaller (br, bv) tiles pipeline HBM reads
+    against VPU exp work. Semantics identical to _fwd_kernel (reference
+    cross_entropy_loss.py:52-111)."""
+    j = pl.program_id(1)
+    logits = logits_ref[...].astype(jnp.float32) * logit_scale  # (br, bv)
+    br, bv = logits.shape
+    col_ids = j * block_v + jax.lax.broadcasted_iota(jnp.int32, (br, bv), 1)
+    if ragged:
+        valid = col_ids < n_cols
+        masked = jnp.where(valid, logits, -jnp.inf)
+    else:
+        valid = None
+        masked = logits
+
+    @pl.when(j == 0)
+    def _init():
+        m_acc[...] = jnp.full_like(m_acc, -1e30)
+        se_acc[...] = jnp.zeros_like(se_acc)
+        ll_acc[...] = jnp.zeros_like(ll_acc)
+        sl_acc[...] = jnp.zeros_like(sl_acc)
+
+    m_old = m_acc[...]                                   # (br, 1)
+    m_new = jnp.maximum(m_old, jnp.max(masked, axis=-1, keepdims=True))
+    m_new = jnp.maximum(m_new, -1e30)
+    p = jnp.exp(masked - m_new)
+    if ragged:
+        p = jnp.where(valid, p, 0.0)
+    se = se_acc[...] * jnp.exp(m_old - m_new) + jnp.sum(p, axis=-1,
+                                                        keepdims=True)
+    m_acc[...] = m_new
+    se_acc[...] = se
+
+    labels = labels_ref[...][:, 0]                       # (br,)
+    local_label = labels - class_start_idx
+    onehot = col_ids == local_label[:, None]
+    if ragged:
+        onehot = onehot & valid
+    ll = ll_acc[...] + jnp.sum(jnp.where(onehot, logits, 0.0), axis=-1,
+                               keepdims=True)
+    ll_acc[...] = ll
+    if smoothing > 0.0:
+        zeroed = jnp.where(valid, logits, 0.0) if ragged else logits
+        sl = sl_acc[...] + jnp.sum(zeroed, axis=-1, keepdims=True)
+        sl_acc[...] = sl
+
+    @pl.when(j == n_tiles - 1)
+    def _emit():
+        lse = (jnp.log(se) + m_new)[:, 0]                # (br,)
+        lse_ref[...] = lse[:, None]
+        in_shard = (local_label >= 0) & (local_label < n_cols)
+        label_logit = ll[:, 0]
+        lse_term = jnp.float32(0.0) if split else lse
+        if smoothing > 0.0:
+            sum_logits = sl[:, 0]
+            loss_in = (lse_term
+                       - smoothing * sum_logits / total_classes
+                       - (1.0 - smoothing) * label_logit)
+            loss_out = smoothing * (lse_term - sum_logits / total_classes)
+            loss = jnp.where(in_shard, loss_in, loss_out)
+        else:
+            loss = jnp.where(in_shard, lse_term - label_logit, 0.0)
+        if split:
+            z = jnp.zeros_like(lse)
+        else:
+            z = lse_square_scale * lse * lse
+            loss = loss + z
+        ignored = labels == ignore_index
+        loss_ref[...] = jnp.where(ignored, 0.0, loss)[:, None]
+        zloss_ref[...] = jnp.where(ignored, 0.0, z)[:, None]
+
+
+def _bwd_kernel_tiled(logits_ref, labels_ref, lse_ref, dloss_ref, dz_ref,
+                      dlogits_ref, *,
+                      n_cols: int, total_classes: int, class_start_idx: int,
+                      smoothing: float, logit_scale: float,
+                      lse_square_scale: float, ignore_index: int,
+                      block_v: int, ragged: bool):
+    """Vocab-tiled backward: each (br, bv) tile of dlogits depends only on
+    its logits tile plus per-row (lse, labels, cotangents) — embarrassingly
+    tile-parallel, no accumulators."""
+    j = pl.program_id(1)
+    logits = logits_ref[...].astype(jnp.float32) * logit_scale
+    br, bv = logits.shape
+    col_ids = j * block_v + jax.lax.broadcasted_iota(jnp.int32, (br, bv), 1)
+
+    labels = labels_ref[...][:, 0]
+    lse = lse_ref[...][:, 0]
+    ignored = labels == ignore_index
+    dloss = jnp.where(ignored, 0.0, dloss_ref[...][:, 0])
+    dz = jnp.where(ignored, 0.0, dz_ref[...][:, 0])
+
+    probs = jnp.exp(logits - lse[:, None])
+    local_label = labels - class_start_idx
+    onehot = col_ids == local_label[:, None]
+    if ragged:
+        onehot = onehot & (col_ids < n_cols)
+    if smoothing > 0.0:
+        ce_grad = (probs - smoothing / total_classes
+                   - jnp.where(onehot, 1.0 - smoothing, 0.0))
+    else:
+        ce_grad = probs - jnp.where(onehot, 1.0, 0.0)
+    z_grad = (2.0 * lse_square_scale * lse)[:, None] * probs
+    grad = dloss[:, None] * ce_grad + (dloss + dz)[:, None] * z_grad
+    grad = grad * logit_scale
+    if ragged:
+        grad = jnp.where(col_ids < n_cols, grad, 0.0)
+    dlogits_ref[...] = grad.astype(dlogits_ref.dtype)
+
+
+def _tiled_blocks(v: int):
+    """(row_block, vocab_block) for the tiled kernels, env-overridable for
+    on-chip sweeps (FLASHT5_CE_ROWS / FLASHT5_CE_COLS)."""
+    br = int(_os.environ.get("FLASHT5_CE_ROWS", "0") or 0) or 256
+    bv = int(_os.environ.get("FLASHT5_CE_COLS", "0") or 0) or 2048
+    bv = min(bv, max(128, -(-v // 128) * 128))
+    return br, bv
+
+
+def _use_tiled() -> bool:
+    return _os.environ.get("FLASHT5_CE_TILED", "1") != "0"
+
+
 def _row_block(v: int) -> int:
     # The bwd kernel holds the logits block, the dlogits block, and fp32
     # temporaries at once — budget ~4MB fp32 per (br, V) buffer (32 rows at
@@ -220,8 +352,97 @@ def _ce_call(logits, labels, *, kernel, extra_inputs=(), out_shapes,
     )(logits, labels.reshape(-1, 1).astype(jnp.int32), *extra_inputs)
 
 
+def _pad_cols(logits, bv):
+    v = logits.shape[1]
+    pad = (-v) % bv
+    if pad:
+        logits = jnp.pad(logits, ((0, 0), (0, pad)))
+    return logits
+
+
+def _ce_fwd_tiled(logits, labels, lse_square_scale, label_smoothing,
+                  logit_scale, ignore_index, total_classes, class_start_idx,
+                  split):
+    rows, v = logits.shape
+    br, bv = _tiled_blocks(v)
+    plogits, plabels, rows = _pad_inputs(logits, labels, br, ignore_index)
+    plogits = _pad_cols(plogits, bv)
+    prow, vpad = plogits.shape
+    n_tiles = vpad // bv
+    kern = functools.partial(
+        _fwd_kernel_tiled, n_cols=v, total_classes=total_classes or v,
+        class_start_idx=class_start_idx, smoothing=label_smoothing,
+        logit_scale=logit_scale, lse_square_scale=lse_square_scale,
+        ignore_index=ignore_index, split=split, block_v=bv, n_tiles=n_tiles,
+        ragged=(vpad != v))
+    out_spec = pl.BlockSpec((br, 1), lambda i, j: (i, 0),
+                            memory_space=pltpu.VMEM)
+    loss, lse, z = pl.pallas_call(
+        kern, grid=(prow // br, n_tiles),
+        in_specs=[
+            pl.BlockSpec((br, bv), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((br, 1), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[out_spec] * 3,
+        out_shape=[jax.ShapeDtypeStruct((prow, 1), jnp.float32)] * 3,
+        scratch_shapes=[pltpu.VMEM((br, 1), jnp.float32)] * 4,
+        compiler_params=_compiler_params(
+            ("parallel", "arbitrary"), vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret_mode(),
+    )(plogits, plabels.reshape(-1, 1).astype(jnp.int32))
+    res = (logits, labels, lse[:rows, 0])
+    return (loss[:rows, 0], z[:rows, 0]), res
+
+
+def _ce_bwd_tiled(lse_square_scale, label_smoothing, logit_scale,
+                  ignore_index, total_classes, class_start_idx, split, res,
+                  grads):
+    logits, labels, lse = res
+    dloss, dz = grads
+    rows, v = logits.shape
+    br, bv = _tiled_blocks(v)
+    plogits, plabels, rows = _pad_inputs(logits, labels, br, ignore_index)
+    plogits = _pad_cols(plogits, bv)
+    prow, vpad = plogits.shape
+    pad = prow - rows
+    plse = jnp.pad(lse, ((0, pad),)) if pad else lse
+    pdloss = jnp.pad(dloss, ((0, pad),)) if pad else dloss
+    pdz = jnp.pad(dz, ((0, pad),)) if pad else dz
+    kern = functools.partial(
+        _bwd_kernel_tiled, n_cols=v, total_classes=total_classes or v,
+        class_start_idx=class_start_idx, smoothing=label_smoothing,
+        logit_scale=logit_scale, lse_square_scale=lse_square_scale,
+        ignore_index=ignore_index, block_v=bv, ragged=(vpad != v))
+    row_spec = pl.BlockSpec((br, 1), lambda i, j: (i, 0),
+                            memory_space=pltpu.VMEM)
+    dlogits = pl.pallas_call(
+        kern, grid=(prow // br, vpad // bv),
+        in_specs=[
+            pl.BlockSpec((br, bv), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+            row_spec, row_spec, row_spec, row_spec,
+        ],
+        out_specs=[pl.BlockSpec((br, bv), lambda i, j: (i, j),
+                                memory_space=pltpu.VMEM)],
+        out_shape=[jax.ShapeDtypeStruct((prow, vpad), logits.dtype)],
+        compiler_params=_compiler_params(
+            ("parallel", "arbitrary"), vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret_mode(),
+    )(plogits, plabels.reshape(-1, 1).astype(jnp.int32),
+      plse.reshape(-1, 1), pdloss.reshape(-1, 1), pdz.reshape(-1, 1))
+    if isinstance(dlogits, (list, tuple)):
+        dlogits = dlogits[0]
+    return dlogits[:rows, :v], None
+
+
 def _ce_fwd(logits, labels, lse_square_scale, label_smoothing, logit_scale,
             ignore_index, total_classes, class_start_idx, split):
+    if _use_tiled():
+        return _ce_fwd_tiled(logits, labels, lse_square_scale,
+                             label_smoothing, logit_scale, ignore_index,
+                             total_classes, class_start_idx, split)
     rows, v = logits.shape
     br = _row_block(v)
     plogits, plabels, rows = _pad_inputs(logits, labels, br, ignore_index)
@@ -239,6 +460,10 @@ def _ce_fwd(logits, labels, lse_square_scale, label_smoothing, logit_scale,
 
 def _ce_bwd(lse_square_scale, label_smoothing, logit_scale, ignore_index,
             total_classes, class_start_idx, split, res, grads):
+    if _use_tiled():
+        return _ce_bwd_tiled(lse_square_scale, label_smoothing, logit_scale,
+                             ignore_index, total_classes, class_start_idx,
+                             split, res, grads)
     logits, labels, lse = res
     dloss, dz = grads  # cotangents for (per-row loss, z_loss)
     rows, v = logits.shape

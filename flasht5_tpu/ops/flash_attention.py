@@ -170,6 +170,61 @@ def _bias_spec(bias_shape, block_m, block_n):
     return pl.BlockSpec((1, 1, block_m, block_n), index_map, memory_space=pltpu.VMEM)
 
 
+def _bfold_ok(batch, block_n, d):
+    """Default-ON gate for the batch-folded no-bias nj1 kernels: grid (h, i)
+    with the batch loop statically unrolled in-body, so Mosaic can interleave
+    one batch's softmax VPU work with another's MXU matmuls (same design and
+    measurement as flash_attention_rpe._bfold_ok; this module's kernels carry
+    the decoder cross-attention). VMEM-budget gated; FLASHT5_RPE_BFOLD=0
+    opts out of both modules at once."""
+    import os as _os
+    if _os.environ.get("FLASHT5_RPE_BFOLD", "1") == "0":
+        return False
+    return batch * block_n * d * (4 + 4 + 2 + 2) <= 16 * 1024 * 1024
+
+
+def _fwd_kernel_nj1_bfold(q_ref, k_ref, v_ref, o_ref, lse_ref, *, sm_scale,
+                          causal, m_len, n_len, block_m, block_n, batch,
+                          full_tile=False):
+    """Batch-folded single-KV-tile no-bias forward (see _bfold_ok)."""
+    i = pl.program_id(1)
+    if not full_tile:
+        rows = i * block_m + jax.lax.broadcasted_iota(
+            jnp.int32, (block_m, block_n), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (block_m, block_n), 1)
+        mask = cols < n_len
+        if causal:
+            mask = mask & (cols <= rows + (n_len - m_len))
+    for b in range(batch):
+        s = jax.lax.dot_general(q_ref[b, 0], k_ref[b, 0],
+                                (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        if sm_scale != 1.0:
+            s = s * sm_scale
+        if full_tile:
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s - m)
+            l = jnp.sum(p, axis=-1, keepdims=True)
+            pv = jax.lax.dot_general(p.astype(v_ref.dtype), v_ref[b, 0],
+                                     (((1,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            o_ref[b, 0] = (pv / l).astype(o_ref.dtype)
+            lse_ref[b, 0] = m + jnp.log(l)
+            continue
+        s = jnp.where(mask, s, _NEG_INF)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        m_safe = jnp.where(m > _NEG_INF / 2, m, 0.0)
+        p = jnp.where(mask, jnp.exp(s - m_safe), 0.0)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        l_safe = jnp.where(l > 0.0, l, 1.0)
+        pv = jax.lax.dot_general(p.astype(v_ref.dtype), v_ref[b, 0],
+                                 (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        o_ref[b, 0] = (pv / l_safe).astype(o_ref.dtype)
+        lse_ref[b, 0] = jnp.where(l > 0.0, m_safe + jnp.log(l_safe),
+                                  _NEG_INF)
+
+
 def _fwd(q, k, v, bias, causal, sm_scale, block_m, block_n):
     batch, heads, m_len, d = q.shape
     n_len = k.shape[2]
@@ -178,6 +233,46 @@ def _fwd(q, k, v, bias, causal, sm_scale, block_m, block_n):
     vp = _pad_to(v, 2, block_n)
     mp, np_ = qp.shape[2], kp.shape[2]
     has_bias = bias is not None
+
+    if (np_ // block_n == 1 and not has_bias
+            and _bfold_ok(batch, block_n, d)):
+        o, lse = pl.pallas_call(
+            functools.partial(
+                _fwd_kernel_nj1_bfold, sm_scale=sm_scale, causal=causal,
+                m_len=m_len, n_len=n_len, block_m=block_m, block_n=block_n,
+                batch=batch,
+                full_tile=(not causal and mp == m_len and np_ == n_len)),
+            grid=(heads, mp // block_m),
+            in_specs=[
+                pl.BlockSpec((batch, 1, block_m, d),
+                             lambda h, i: (0, h, i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((batch, 1, block_n, d),
+                             lambda h, i: (0, h, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((batch, 1, block_n, d),
+                             lambda h, i: (0, h, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((batch, 1, block_m, d),
+                             lambda h, i: (0, h, i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((batch, 1, block_m, 1),
+                             lambda h, i: (0, h, i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct(qp.shape, q.dtype),
+                jax.ShapeDtypeStruct((batch, heads, mp, 1), jnp.float32),
+            ],
+            compiler_params=_compiler_params(
+                ("parallel", "arbitrary"),
+                vmem_limit_bytes=96 * 1024 * 1024),
+            interpret=interpret_mode(),
+        )(qp, kp, vp)
+        return o[:, :, :m_len], lse[:, :, :m_len, 0]
+
     inputs = [qp, kp, vp]
     in_specs = [
         pl.BlockSpec((1, 1, block_m, d), lambda b, h, i, j: (b, h, i, 0),
@@ -357,6 +452,74 @@ def _bwd_fused_nj1_kernel(q_ref, k_ref, v_ref, bias_ref, lse_ref, delta_ref,
             dq_ref[0, 0] = jnp.zeros_like(dq_ref[0, 0])
 
 
+def _bwd_fused_nj1_bfold_kernel(q_ref, k_ref, v_ref, lse_ref, o_ref,
+                                do_ref, dq_ref, dk_ref, dv_ref, *, sm_scale,
+                                causal, m_len, n_len, block_m, block_n,
+                                batch, full_tile=False):
+    """Batch-folded single-KV-tile no-bias fused backward, grid (h, i) with
+    the batch loop unrolled in-body (see _bfold_ok). dk/dv output blocks
+    index only on h, so they are the across-i accumulators directly.
+    delta (sum o*do per row) is fused in-kernel from the o tile — no
+    separate XLA preprocess pass (reference _bwd_preprocess,
+    flash_attention_v2_bias.py:516)."""
+    i = pl.program_id(1)
+
+    @pl.when(i == 0)
+    def _init_kv():
+        dk_ref[...] = jnp.zeros_like(dk_ref)
+        dv_ref[...] = jnp.zeros_like(dv_ref)
+
+    run = True
+    if causal:
+        run = 0 <= i * block_m + block_m - 1 + (n_len - m_len)
+
+    if not full_tile:
+        rows = i * block_m + jax.lax.broadcasted_iota(
+            jnp.int32, (block_m, block_n), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (block_m, block_n), 1)
+        mask = (cols < n_len) & (rows < m_len)
+        if causal:
+            mask = mask & (cols <= rows + (n_len - m_len))
+
+    @pl.when(run)
+    def _compute():
+        for b in range(batch):
+            q = q_ref[b, 0]
+            k = k_ref[b, 0]
+            s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            if sm_scale != 1.0:
+                s = s * sm_scale
+            if full_tile:
+                p = jnp.exp(s - lse_ref[b, 0])
+            else:
+                lse = lse_ref[b, 0]
+                lse_ok = lse > _NEG_INF / 2
+                p = jnp.where(mask & lse_ok,
+                              jnp.exp(s - jnp.where(lse_ok, lse, 0.0)), 0.0)
+            do = do_ref[b, 0]
+            dp = jax.lax.dot_general(do, v_ref[b, 0],
+                                     (((1,), (1,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            delta = jnp.sum(o_ref[b, 0].astype(jnp.float32)
+                            * do.astype(jnp.float32), axis=-1, keepdims=True)
+            g = p * (dp - delta)
+            dv_ref[b, 0] += jax.lax.dot_general(
+                p.astype(do_ref.dtype), do, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dk_ref[b, 0] += jax.lax.dot_general(
+                g.astype(q_ref.dtype), q, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32) * sm_scale
+            dq_ref[b, 0] = jax.lax.dot_general(
+                g.astype(k_ref.dtype), k, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32) * sm_scale
+
+    if causal:
+        @pl.when(jnp.logical_not(run))
+        def _zero_dq():
+            dq_ref[...] = jnp.zeros_like(dq_ref)
+
+
 def _bwd_dq_kernel(q_ref, k_ref, v_ref, bias_ref, lse_ref, delta_ref, do_ref,
                    dq_ref, *, sm_scale, causal, m_len, n_len, block_m, block_n,
                    has_bias, full_tile=False):
@@ -409,6 +572,62 @@ def _bwd(q, k, v, bias, causal, sm_scale, block_m, block_n, lse, o, do,
                                  memory_space=pltpu.VMEM)
 
     full_tile = (not causal and mp == m_len and np_ == n_len)
+
+    # single KV tile, no bias at all: batch-folded single-sweep fused kernel
+    # (see _bfold_ok; the decoder cross-attention backward lands here)
+    if (np_ // block_n == 1 and not has_bias
+            and _bfold_ok(batch, block_n, d)):
+        dq, dk, dv = pl.pallas_call(
+            functools.partial(
+                _bwd_fused_nj1_bfold_kernel, sm_scale=sm_scale,
+                causal=causal, m_len=m_len, n_len=n_len, block_m=block_m,
+                block_n=block_n, batch=batch, full_tile=full_tile),
+            grid=(heads, mp // block_m),
+            in_specs=[
+                pl.BlockSpec((batch, 1, block_m, d),
+                             lambda h, i: (0, h, i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((batch, 1, block_n, d),
+                             lambda h, i: (0, h, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((batch, 1, block_n, d),
+                             lambda h, i: (0, h, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((batch, 1, block_m, 1),
+                             lambda h, i: (0, h, i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((batch, 1, block_m, d),
+                             lambda h, i: (0, h, i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((batch, 1, block_m, d),
+                             lambda h, i: (0, h, i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((batch, 1, block_m, d),
+                             lambda h, i: (0, h, i, 0),
+                             memory_space=pltpu.VMEM),
+                # dk/dv index only on h: resident across-i accumulators
+                pl.BlockSpec((batch, 1, block_n, d),
+                             lambda h, i: (0, h, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((batch, 1, block_n, d),
+                             lambda h, i: (0, h, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct(qp.shape, jnp.float32),
+                jax.ShapeDtypeStruct(kp.shape, jnp.float32),
+                jax.ShapeDtypeStruct(vp.shape, jnp.float32),
+            ],
+            compiler_params=_compiler_params(
+                ("arbitrary", "arbitrary"),
+                vmem_limit_bytes=96 * 1024 * 1024),
+            interpret=interpret_mode(),
+        )(qp, kp, vp, lsep, _pad_to(o, 2, block_m), dop)
+        return (dq[:, :, :m_len].astype(q.dtype),
+                dk[:, :, :n_len].astype(k.dtype),
+                dv[:, :, :n_len].astype(v.dtype), None)
 
     # single KV tile and no bias gradient wanted: single-sweep fused kernel
     # (p recomputed once; the two-pass form below recomputes it per pass)

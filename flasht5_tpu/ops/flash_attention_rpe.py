@@ -889,7 +889,7 @@ def _bwd_fused_kernel_nj1(q_ref, k_ref, v_ref, bias_ref, lse_ref, delta_ref,
 
 
 def _bwd_fused_kernel_nj1_bfold(q_ref, k_ref, v_ref, bias_ref, lse_ref,
-                                delta_ref, do_ref, dq_ref, dk_ref, dv_ref,
+                                o_ref, do_ref, dq_ref, dk_ref, dv_ref,
                                 dw_ref, *, sm_scale, causal, bidirectional,
                                 num_buckets, max_distance, m_len, n_len,
                                 block_m, block_n, batch, dw_mode,
@@ -902,7 +902,11 @@ def _bwd_fused_kernel_nj1_bfold(q_ref, k_ref, v_ref, bias_ref, lse_ref,
     no garbage-block copy-out routing. The unrolled body gives Mosaic `batch`
     independent MXU->VPU chains to interleave, and the dW skew-binning (the
     dominant VPU cost) runs once per program on the batch-summed score
-    gradient, same as the g_scr trick but on a local value."""
+    gradient, same as the g_scr trick but on a local value.
+
+    delta (sum o*do per row, the reference's _bwd_preprocess,
+    flash_attention_v2_bias.py:516) is fused in-kernel from the o tile —
+    no separate XLA pass over o/do and no delta stream."""
     h = pl.program_id(0)
     i = pl.program_id(1)
 
@@ -944,7 +948,9 @@ def _bwd_fused_kernel_nj1_bfold(q_ref, k_ref, v_ref, bias_ref, lse_ref,
         do = do_ref[b, 0]
         dp = jax.lax.dot_general(do, v_ref[b, 0], (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
-        g = p * (dp - delta_ref[b, 0])
+        delta = jnp.sum(o_ref[b, 0].astype(jnp.float32)
+                        * do.astype(jnp.float32), axis=-1, keepdims=True)
+        g = p * (dp - delta)
 
         dv_ref[b, 0] += jax.lax.dot_general(
             p.astype(do_ref.dtype), do, (((0,), (0,)), ((), ())),
@@ -1141,7 +1147,7 @@ def _bwd(q, k, v, w, causal, sm_scale, bidirectional, num_buckets,
                     pl.BlockSpec((batch, 1, bm2, 1),
                                  lambda h, i: (0, h, i, 0),
                                  memory_space=pltpu.VMEM),
-                    pl.BlockSpec((batch, 1, bm2, 1),
+                    pl.BlockSpec((batch, 1, bm2, d),
                                  lambda h, i: (0, h, i, 0),
                                  memory_space=pltpu.VMEM),
                     pl.BlockSpec((batch, 1, bm2, d),
@@ -1175,7 +1181,7 @@ def _bwd(q, k, v, w, causal, sm_scale, bidirectional, num_buckets,
                     ("arbitrary", "arbitrary"),
                     vmem_limit_bytes=96 * 1024 * 1024),
                 interpret=interpret_mode(),
-            )(qp, kp, vp, table2, lsep, deltap, dop)
+            )(qp, kp, vp, table2, lsep, _pad_to(o, 2, block_m), dop)
             nb, h_real = w.shape
             dw = dw_all[0, :nb, :h_real].astype(w.dtype)
             return (dq[:, :, :m_len].astype(q.dtype),

@@ -95,3 +95,47 @@ def test_ce_z_only_cotangent():
     r = jax.grad(lambda lg: jnp.sum(
         cross_entropy_loss_ref(lg, labels, lse_square_scale=z_scale)[1]))(logits)
     np.testing.assert_allclose(np.asarray(g), np.asarray(r), atol=1e-5, rtol=1e-3)
+
+
+@pytest.mark.parametrize("vocab", [2048, 5000])
+@pytest.mark.parametrize("smoothing", [0.0, 0.1])
+def test_ce_tiled_matches_rowblock(monkeypatch, vocab, smoothing):
+    """The default vocab-tiled streaming kernels (FLASHT5_CE_TILED=1) must
+    match the full-vocab row-block kernels: loss, z, and dlogits under
+    both-output cotangents."""
+    logits, labels = _data(40, vocab, seed=7)
+    z_scale = 1e-3
+
+    def run(lg):
+        loss, z = cross_entropy_loss(lg, labels, z_scale, smoothing)
+        g = jax.grad(lambda l_: jnp.sum(
+            cross_entropy_loss(l_, labels, z_scale, smoothing)[0])
+            + 2.0 * jnp.sum(
+            cross_entropy_loss(l_, labels, z_scale, smoothing)[1]))(lg)
+        return loss, z, g
+
+    monkeypatch.setenv("FLASHT5_CE_TILED", "0")
+    ref = run(logits)
+    monkeypatch.setenv("FLASHT5_CE_TILED", "1")
+    res = run(logits)
+    for a, b, name in zip(res, ref, ["loss", "z", "dlogits"]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5,
+                                   rtol=1e-4, err_msg=name)
+
+
+def test_ce_tiled_split_semantics(monkeypatch):
+    """Vocab-split (tensor-parallel) semantics through the tiled kernels."""
+    logits, labels = _data(24, 1024, seed=9)
+    shard = logits[:, 512:]
+    for tiled in ("0", "1"):
+        monkeypatch.setenv("FLASHT5_CE_TILED", tiled)
+        loss, z = cross_entropy_loss(
+            shard, labels, 1e-3, 0.1, total_classes=1024,
+            class_start_idx=512, split=True)
+        if tiled == "0":
+            ref = (loss, z)
+        else:
+            np.testing.assert_allclose(np.asarray(loss), np.asarray(ref[0]),
+                                       atol=1e-5, rtol=1e-4)
+            np.testing.assert_allclose(np.asarray(z), np.asarray(ref[1]),
+                                       atol=1e-5, rtol=1e-4)

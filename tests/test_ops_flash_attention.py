@@ -103,3 +103,32 @@ def test_fa_decode_shape():
     q, k, v, _ = _inputs(2, 4, 1, 256, 64, jnp.float32)
     out = flash_attention(q, k, v, causal=False, sm_scale=1.0)
     _check(out, q, k, v, None, False, 1.0, jnp.float32)
+
+
+@pytest.mark.parametrize("causal,m,n", [(False, 128, 128), (True, 128, 128),
+                                        (False, 96, 160), (True, 70, 133)])
+def test_bfold_nobias_matches_default(monkeypatch, causal, m, n):
+    """The default batch-folded no-bias nj1 kernels (grid (h, i), batch loop
+    unrolled in-body) must match the FLASHT5_RPE_BFOLD=0 per-batch kernels:
+    output and dq/dk/dv."""
+    rng = np.random.default_rng(31)
+    q = jnp.asarray(rng.standard_normal((3, 2, m, 64)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((3, 2, n, 64)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((3, 2, n, 64)), jnp.float32)
+
+    def vals_and_grads(q, k, v):
+        def loss(q_, k_, v_):
+            return jnp.sum(flash_attention(
+                q_, k_, v_, None, causal=causal, sm_scale=0.125,
+                block_m=128, block_n=256).astype(jnp.float32) ** 2)
+        out = flash_attention(q, k, v, None, causal=causal, sm_scale=0.125,
+                              block_m=128, block_n=256)
+        return (out,) + jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+
+    monkeypatch.setenv("FLASHT5_RPE_BFOLD", "0")
+    ref = vals_and_grads(q, k, v)
+    monkeypatch.setenv("FLASHT5_RPE_BFOLD", "1")
+    res = vals_and_grads(q, k, v)
+    for a, b, name in zip(res, ref, ["o", "dq", "dk", "dv"]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5,
+                                   rtol=1e-5, err_msg=name)

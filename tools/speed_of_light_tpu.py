@@ -166,6 +166,12 @@ def main():
                  "the end-to-end train bench (bench.py, stable to ~1.5%\n"
                  "across runs) as ground truth; these rows identify which\n"
                  "kernels have headroom, not absolute claims.\n\n")
+        fh.write("Attention rooflines: `sol` divides by the chip's nominal\n"
+                 "bf16 peak, but at d_kv=64 the score matmul contracts over\n"
+                 "64 (< the 128-deep MXU) and the PV matmul emits 64 lanes\n"
+                 "(< the 128-wide MXU), so the achievable ceiling for the\n"
+                 "attention kernels is ~0.5 of nominal before any softmax\n"
+                 "VPU cost. Read attention `sol` against that ~0.5 bound.\n\n")
         fh.write("| kernel | ms/call | TFLOPS | GB/s | bound | sol |\n")
         fh.write("|---|---|---|---|---|---|\n")
         for tag, d in ROWS:

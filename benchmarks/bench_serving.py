@@ -64,11 +64,19 @@ def main():
                                  EngineConfig(kv_dtype=kv,
                                               use_decode_kernel=kern,
                                               **ecfg_base))
-        # measure TTFT on a single warm request (prefill + 1 decode step)
+        # TTFT: median over several single warm requests decoding one
+        # sync window each (prefill + first decode window; through the
+        # tunnel each sample carries a ~25ms round-trip floor)
         warm = engine.run(mk_reqs()[:slots])  # compile everything
-        t0 = time.perf_counter()
-        engine.run([mk_reqs()[0]])
-        ttft = time.perf_counter() - t0  # full short request as TTFT proxy
+        samples = []
+        short = min(args.steps_per_sync, max_new)
+        for s in range(5):
+            r = mk_reqs()[0]
+            r.max_new_tokens = short
+            t0 = time.perf_counter()
+            engine.run([r])
+            samples.append(time.perf_counter() - t0)
+        ttft = sorted(samples)[len(samples) // 2]
 
         reqs = mk_reqs()
         t0 = time.perf_counter()

@@ -510,9 +510,11 @@ def _bwd_fused_nj1_bfold_kernel(q_ref, k_ref, v_ref, lse_ref, o_ref,
             dk_ref[b, 0] += jax.lax.dot_general(
                 g.astype(q_ref.dtype), q, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32) * sm_scale
-            dq_ref[b, 0] = jax.lax.dot_general(
+            # dq written once: emit in the input dtype (no external cast)
+            dq_ref[b, 0] = (jax.lax.dot_general(
                 g.astype(k_ref.dtype), k, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32) * sm_scale
+                preferred_element_type=jnp.float32)
+                * sm_scale).astype(dq_ref.dtype)
 
     if causal:
         @pl.when(jnp.logical_not(run))
@@ -616,7 +618,7 @@ def _bwd(q, k, v, bias, causal, sm_scale, block_m, block_n, lse, o, do,
                              memory_space=pltpu.VMEM),
             ],
             out_shape=[
-                jax.ShapeDtypeStruct(qp.shape, jnp.float32),
+                jax.ShapeDtypeStruct(qp.shape, q.dtype),
                 jax.ShapeDtypeStruct(kp.shape, jnp.float32),
                 jax.ShapeDtypeStruct(vp.shape, jnp.float32),
             ],

@@ -958,9 +958,12 @@ def _bwd_fused_kernel_nj1_bfold(q_ref, k_ref, v_ref, bias_ref, lse_ref,
         dk_ref[b, 0] += jax.lax.dot_general(
             g.astype(q_ref.dtype), q, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32) * sm_scale
-        dq_ref[b, 0] = jax.lax.dot_general(
+        # dq is written once (no across-i accumulation): emit in the input
+        # dtype directly so XLA has no f32->bf16 cast pass to run after
+        dq_ref[b, 0] = (jax.lax.dot_general(
             g.astype(k_ref.dtype), k, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32) * sm_scale
+            preferred_element_type=jnp.float32)
+            * sm_scale).astype(dq_ref.dtype)
         if dw_mode != "skip":
             g_sum = g if g_sum is None else g_sum + g
 
@@ -1171,7 +1174,7 @@ def _bwd(q, k, v, w, causal, sm_scale, bidirectional, num_buckets,
                                  memory_space=pltpu.VMEM),
                 ],
                 out_shape=[
-                    jax.ShapeDtypeStruct(qp.shape, jnp.float32),
+                    jax.ShapeDtypeStruct(qp.shape, q.dtype),
                     jax.ShapeDtypeStruct(kp.shape, jnp.float32),
                     jax.ShapeDtypeStruct(vp.shape, jnp.float32),
                     jax.ShapeDtypeStruct((1, nb_j1, _HEAD_LANES),

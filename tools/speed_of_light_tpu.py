@@ -123,7 +123,9 @@ def main():
 
     from flasht5_tpu.ops.cross_entropy import cross_entropy_loss
     V = 32768
-    logits = jax.random.normal(ks[1], (2048, V), jnp.float32)
+    # bf16 logits: what the flagship train step actually feeds CE
+    # (lm_head matmul emits the activation dtype, models/t5.py:653)
+    logits = jax.random.normal(ks[1], (2048, V), jnp.bfloat16)
     labels = jax.random.randint(ks[2], (2048,), 0, V)
 
     def ce_step(lg):
@@ -131,6 +133,8 @@ def main():
         return lg + losses[:, None] * 1e-30  # keep the dependency live
 
     sec = chained_seconds(ce_step, logits)
+    # bytes: bf16 logits read by the kernel + the bf16 pass-through write
+    # the chaining harness adds to keep the dependency live
     report("cross_entropy_fwd", sec, 3.0 * 2048 * V, 2048 * V * 4)
 
     from flasht5_tpu.ops.quant import quant_matmul, quantize_int8

@@ -101,7 +101,7 @@ if __name__ == "__main__":
     # transient INTERNAL errors under load; the measurement itself is cheap
     # once compiled, so retry rather than lose the round's headline number.
     last = None
-    for attempt in range(3):
+    for attempt in range(6):
         try:
             main()
             break
@@ -109,6 +109,8 @@ if __name__ == "__main__":
             last = e
             print(f"bench attempt {attempt + 1} failed: {e}"[:300],
                   file=sys.stderr, flush=True)
-            time.sleep(20 * (attempt + 1))
+            # outages of the shared backend last minutes, not seconds:
+            # back off up to ~5 min so a driver-window run can ride one out
+            time.sleep(min(300, 45 * (attempt + 1)))
     else:
         raise last

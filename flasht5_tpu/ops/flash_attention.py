@@ -442,9 +442,10 @@ def _bwd_fused_nj1_kernel(q_ref, k_ref, v_ref, bias_ref, lse_ref, delta_ref,
         dk_ref[0, 0] += jax.lax.dot_general(
             g.astype(q_ref.dtype), q, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32) * sm_scale
-        dq_ref[0, 0] = jax.lax.dot_general(
+        dq_ref[0, 0] = (jax.lax.dot_general(
             g.astype(k_ref.dtype), k, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32) * sm_scale
+            preferred_element_type=jnp.float32)
+            * sm_scale).astype(dq_ref.dtype)
 
     if causal:
         @pl.when(jnp.logical_not(run))
@@ -676,7 +677,7 @@ def _bwd(q, k, v, bias, causal, sm_scale, block_m, block_n, lse, o, do,
                              memory_space=pltpu.VMEM),
             ],
             out_shape=[
-                jax.ShapeDtypeStruct(qp.shape, jnp.float32),
+                jax.ShapeDtypeStruct(qp.shape, q.dtype),
                 jax.ShapeDtypeStruct(kp.shape, jnp.float32),
                 jax.ShapeDtypeStruct(vp.shape, jnp.float32),
             ],

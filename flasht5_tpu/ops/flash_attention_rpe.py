@@ -786,7 +786,7 @@ def _bwd_fused_kernel(q_ref, k_ref, v_ref, w_ref, bias_ref, brange_ref,
             dq_ref[0, 0] = dq_acc
 
 
-def _bwd_fused_kernel_nj1(q_ref, k_ref, v_ref, bias_ref, lse_ref, delta_ref,
+def _bwd_fused_kernel_nj1(q_ref, k_ref, v_ref, bias_ref, lse_ref, o_ref,
                           do_ref, dq_ref, dk_ref, dv_ref, dw_ref,
                           dk_scr, dv_scr, g_scr, *,
                           sm_scale, causal, bidirectional, num_buckets,
@@ -849,7 +849,9 @@ def _bwd_fused_kernel_nj1(q_ref, k_ref, v_ref, bias_ref, lse_ref, delta_ref,
     do = do_ref[0, 0]
     dp = jax.lax.dot_general(do, v_ref[b, 0], (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
-    g = p * (dp - delta_ref[0, 0])
+    delta = jnp.sum(o_ref[0, 0].astype(jnp.float32)
+                    * do.astype(jnp.float32), axis=-1, keepdims=True)
+    g = p * (dp - delta)
 
     dv_new = dv_scr[b] + jax.lax.dot_general(
         p.astype(do_ref.dtype), do, (((0,), (0,)), ((), ())),
@@ -865,9 +867,9 @@ def _bwd_fused_kernel_nj1(q_ref, k_ref, v_ref, bias_ref, lse_ref, delta_ref,
     dk_ref[0, 0] = dk_new
     dv_ref[0, 0] = dv_new
 
-    dq_ref[0, 0] = jax.lax.dot_general(
+    dq_ref[0, 0] = (jax.lax.dot_general(
         g.astype(k_ref.dtype), k, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32) * sm_scale
+        preferred_element_type=jnp.float32) * sm_scale).astype(dq_ref.dtype)
 
     if dw_mode != "skip":
         n_b = pl.num_programs(2)
@@ -1218,7 +1220,7 @@ def _bwd(q, k, v, w, causal, sm_scale, bidirectional, num_buckets,
                 pl.BlockSpec((1, 1, bm2, 1),
                              lambda h, i, b: (b, h, i, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, bm2, 1),
+                pl.BlockSpec((1, 1, bm2, d),
                              lambda h, i, b: (b, h, i, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, 1, bm2, d),
@@ -1250,7 +1252,7 @@ def _bwd(q, k, v, w, causal, sm_scale, bidirectional, num_buckets,
                              memory_space=pltpu.VMEM),
             ],
             out_shape=[
-                jax.ShapeDtypeStruct(qp.shape, jnp.float32),
+                jax.ShapeDtypeStruct(qp.shape, q.dtype),
                 jax.ShapeDtypeStruct((batch + 1,) + kp.shape[1:], jnp.float32),
                 jax.ShapeDtypeStruct((batch + 1,) + vp.shape[1:], jnp.float32),
                 jax.ShapeDtypeStruct((1, nb_j1, _HEAD_LANES), jnp.float32),
@@ -1264,10 +1266,10 @@ def _bwd(q, k, v, w, causal, sm_scale, bidirectional, num_buckets,
                 ("arbitrary", "arbitrary", "arbitrary"),
                 vmem_limit_bytes=64 * 1024 * 1024),
             interpret=interpret_mode(),
-        )(qp, kp, vp, table2, lsep, deltap, dop)
+        )(qp, kp, vp, table2, lsep, _pad_to(o, 2, block_m), dop)
         nb, h_real = w.shape
         dw = dw_all[0, :nb, :h_real].astype(w.dtype)
-        return (dq[:, :, :m_len].astype(q.dtype),
+        return (dq[:, :, :m_len],
                 dk[:batch, :, :n_len].astype(k.dtype),
                 dv[:batch, :, :n_len].astype(v.dtype),
                 dw)

@@ -34,6 +34,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+import os as _os
+
 from flasht5_tpu.runtime import interpret_mode
 
 # Measured on v5e (S=1024, D=64): (256, 1024) reaches 173 TFLOPS (88% of
@@ -52,6 +54,20 @@ def _bwd_blocks(block_m, block_n, m_len, n_len):
     # reuses the forward tiles.
     return min(block_m, _round16(m_len)), min(block_n, _round16(n_len))
 _NEG_INF = -1e30
+_LOG2E = 1.4426950408889634
+_LN2 = 0.6931471805599453
+
+
+def _exp2_on():
+    """FLASHT5_EXP2=1 (trace-time): compute softmax via exp2 on prescaled
+    scores in the batch-folded kernels. q is pre-multiplied by
+    sm_scale*log2(e) OUTSIDE the kernel (an (M, D) elementwise op, block_n/D
+    times cheaper than per-score work), so the kernel's per-element multiply
+    inside exp (TPU lowers exp(x) as exp2(x*log2e)) and the s*sm_scale pass
+    both disappear. p values are bit-identical math (exp2((s-m)*log2e) ==
+    exp(s-m)); only the q prescale adds one rounding. lse stays natural-log
+    at the kernel boundary. Default OFF until the on-chip A/B lands."""
+    return _os.environ.get("FLASHT5_EXP2", "0") == "1"
 
 
 def _compiler_params(dims, vmem_limit_bytes=None):
@@ -185,8 +201,12 @@ def _bfold_ok(batch, block_n, d):
 
 def _fwd_kernel_nj1_bfold(q_ref, k_ref, v_ref, o_ref, lse_ref, *, sm_scale,
                           causal, m_len, n_len, block_m, block_n, batch,
-                          full_tile=False):
-    """Batch-folded single-KV-tile no-bias forward (see _bfold_ok)."""
+                          exp2=False, full_tile=False):
+    """Batch-folded single-KV-tile no-bias forward (see _bfold_ok).
+
+    With exp2=True, q arrives pre-scaled by sm_scale*log2e so s is in the
+    log2 domain: p = exp2(s - m) == exp(s_nat - m_nat), and only the lse
+    boundary value converts back to natural log (see _exp2_on)."""
     i = pl.program_id(1)
     if not full_tile:
         rows = i * block_m + jax.lax.broadcasted_iota(
@@ -195,33 +215,35 @@ def _fwd_kernel_nj1_bfold(q_ref, k_ref, v_ref, o_ref, lse_ref, *, sm_scale,
         mask = cols < n_len
         if causal:
             mask = mask & (cols <= rows + (n_len - m_len))
+    expf = jnp.exp2 if exp2 else jnp.exp
+    lse_mult = _LN2 if exp2 else 1.0
     for b in range(batch):
         s = jax.lax.dot_general(q_ref[b, 0], k_ref[b, 0],
                                 (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
-        if sm_scale != 1.0:
+        if sm_scale != 1.0 and not exp2:
             s = s * sm_scale
         if full_tile:
             m = jnp.max(s, axis=-1, keepdims=True)
-            p = jnp.exp(s - m)
+            p = expf(s - m)
             l = jnp.sum(p, axis=-1, keepdims=True)
             pv = jax.lax.dot_general(p.astype(v_ref.dtype), v_ref[b, 0],
                                      (((1,), (0,)), ((), ())),
                                      preferred_element_type=jnp.float32)
             o_ref[b, 0] = (pv / l).astype(o_ref.dtype)
-            lse_ref[b, 0] = m + jnp.log(l)
+            lse_ref[b, 0] = m * lse_mult + jnp.log(l)
             continue
         s = jnp.where(mask, s, _NEG_INF)
         m = jnp.max(s, axis=-1, keepdims=True)
         m_safe = jnp.where(m > _NEG_INF / 2, m, 0.0)
-        p = jnp.where(mask, jnp.exp(s - m_safe), 0.0)
+        p = jnp.where(mask, expf(s - m_safe), 0.0)
         l = jnp.sum(p, axis=-1, keepdims=True)
         l_safe = jnp.where(l > 0.0, l, 1.0)
         pv = jax.lax.dot_general(p.astype(v_ref.dtype), v_ref[b, 0],
                                  (((1,), (0,)), ((), ())),
                                  preferred_element_type=jnp.float32)
         o_ref[b, 0] = (pv / l_safe).astype(o_ref.dtype)
-        lse_ref[b, 0] = jnp.where(l > 0.0, m_safe + jnp.log(l_safe),
+        lse_ref[b, 0] = jnp.where(l > 0.0, m_safe * lse_mult + jnp.log(l_safe),
                                   _NEG_INF)
 
 
@@ -236,11 +258,14 @@ def _fwd(q, k, v, bias, causal, sm_scale, block_m, block_n):
 
     if (np_ // block_n == 1 and not has_bias
             and _bfold_ok(batch, block_n, d)):
+        exp2 = _exp2_on()
+        if exp2:
+            qp = (qp * (sm_scale * _LOG2E)).astype(q.dtype)
         o, lse = pl.pallas_call(
             functools.partial(
                 _fwd_kernel_nj1_bfold, sm_scale=sm_scale, causal=causal,
                 m_len=m_len, n_len=n_len, block_m=block_m, block_n=block_n,
-                batch=batch,
+                batch=batch, exp2=exp2,
                 full_tile=(not causal and mp == m_len and np_ == n_len)),
             grid=(heads, mp // block_m),
             in_specs=[
@@ -456,7 +481,7 @@ def _bwd_fused_nj1_kernel(q_ref, k_ref, v_ref, bias_ref, lse_ref, delta_ref,
 def _bwd_fused_nj1_bfold_kernel(q_ref, k_ref, v_ref, lse_ref, o_ref,
                                 do_ref, dq_ref, dk_ref, dv_ref, *, sm_scale,
                                 causal, m_len, n_len, block_m, block_n,
-                                batch, full_tile=False):
+                                batch, exp2=False, full_tile=False):
     """Batch-folded single-KV-tile no-bias fused backward, grid (h, i) with
     the batch loop unrolled in-body (see _bfold_ok). dk/dv output blocks
     index only on h, so they are the across-i accumulators directly.
@@ -482,6 +507,15 @@ def _bwd_fused_nj1_bfold_kernel(q_ref, k_ref, v_ref, lse_ref, o_ref,
         if causal:
             mask = mask & (cols <= rows + (n_len - m_len))
 
+    # with exp2, q arrives pre-scaled by sm_scale*log2e, so dk (which
+    # contracts against the scaled q) needs ln2 = sm_scale / (sm_scale*log2e)
+    # to come out in the natural domain; dq contracts against the UNscaled k
+    # and keeps the plain sm_scale. g itself is domain-free (p values are
+    # identical; see _exp2_on).
+    dk_mult = _LN2 if exp2 else sm_scale
+    expf = jnp.exp2 if exp2 else jnp.exp
+    lse_mult = _LOG2E if exp2 else 1.0
+
     @pl.when(run)
     def _compute():
         for b in range(batch):
@@ -489,15 +523,16 @@ def _bwd_fused_nj1_bfold_kernel(q_ref, k_ref, v_ref, lse_ref, o_ref,
             k = k_ref[b, 0]
             s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                     preferred_element_type=jnp.float32)
-            if sm_scale != 1.0:
+            if sm_scale != 1.0 and not exp2:
                 s = s * sm_scale
             if full_tile:
-                p = jnp.exp(s - lse_ref[b, 0])
+                p = expf(s - lse_ref[b, 0] * lse_mult)
             else:
                 lse = lse_ref[b, 0]
                 lse_ok = lse > _NEG_INF / 2
                 p = jnp.where(mask & lse_ok,
-                              jnp.exp(s - jnp.where(lse_ok, lse, 0.0)), 0.0)
+                              expf(s - jnp.where(lse_ok, lse, 0.0)
+                                   * lse_mult), 0.0)
             do = do_ref[b, 0]
             dp = jax.lax.dot_general(do, v_ref[b, 0],
                                      (((1,), (1,)), ((), ())),
@@ -510,7 +545,7 @@ def _bwd_fused_nj1_bfold_kernel(q_ref, k_ref, v_ref, lse_ref, o_ref,
                 preferred_element_type=jnp.float32)
             dk_ref[b, 0] += jax.lax.dot_general(
                 g.astype(q_ref.dtype), q, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32) * sm_scale
+                preferred_element_type=jnp.float32) * dk_mult
             # dq written once: emit in the input dtype (no external cast)
             dq_ref[b, 0] = (jax.lax.dot_general(
                 g.astype(k_ref.dtype), k, (((1,), (0,)), ((), ())),
@@ -580,11 +615,15 @@ def _bwd(q, k, v, bias, causal, sm_scale, block_m, block_n, lse, o, do,
     # (see _bfold_ok; the decoder cross-attention backward lands here)
     if (np_ // block_n == 1 and not has_bias
             and _bfold_ok(batch, block_n, d)):
+        exp2 = _exp2_on()
+        if exp2:
+            qp = (qp * (sm_scale * _LOG2E)).astype(q.dtype)
         dq, dk, dv = pl.pallas_call(
             functools.partial(
                 _bwd_fused_nj1_bfold_kernel, sm_scale=sm_scale,
                 causal=causal, m_len=m_len, n_len=n_len, block_m=block_m,
-                block_n=block_n, batch=batch, full_tile=full_tile),
+                block_n=block_n, batch=batch, exp2=exp2,
+                full_tile=full_tile),
             grid=(heads, mp // block_m),
             in_specs=[
                 pl.BlockSpec((batch, 1, block_m, d),

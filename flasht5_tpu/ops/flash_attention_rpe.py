@@ -36,9 +36,12 @@ from jax.experimental.pallas import tpu as pltpu
 from flasht5_tpu.ops.flash_attention import (
     DEFAULT_BLOCK_M,
     DEFAULT_BLOCK_N,
+    _LN2,
+    _LOG2E,
     _NEG_INF,
     _bwd_blocks,
     _compiler_params,
+    _exp2_on,
     _fwd_kernel as _fa_bias_fwd_kernel,
     _pad_to,
 )
@@ -254,7 +257,7 @@ def _fwd_kernel_nj1(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, *,
 
 def _fwd_kernel_nj1_bfold(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, *,
                           sm_scale, causal, m_len, n_len, block_m, block_n,
-                          batch, full_tile=False):
+                          batch, exp2=False, full_tile=False):
     """Batch-folded single-KV-tile forward: grid (h, i), the batch loop
     statically unrolled INSIDE the kernel (opt-in, FLASHT5_RPE_BFOLD=1).
 
@@ -272,35 +275,40 @@ def _fwd_kernel_nj1_bfold(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, *,
         mask = cols < n_len
         if causal:
             mask = mask & (cols <= rows + (n_len - m_len))
+    # with exp2, q arrives pre-scaled by sm_scale*log2e and the bias TABLE
+    # was built from w*log2e, so s is already in the log2 domain
+    # (see flash_attention._exp2_on)
+    expf = jnp.exp2 if exp2 else jnp.exp
+    lse_mult = _LN2 if exp2 else 1.0
     bias = bias_ref[0, 0]
     for b in range(batch):
         s = jax.lax.dot_general(q_ref[b, 0], k_ref[b, 0],
                                 (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
-        if sm_scale != 1.0:
+        if sm_scale != 1.0 and not exp2:
             s = s * sm_scale
         s = s + bias
         if full_tile:
             m = jnp.max(s, axis=-1, keepdims=True)
-            p = jnp.exp(s - m)
+            p = expf(s - m)
             l = jnp.sum(p, axis=-1, keepdims=True)
             pv = jax.lax.dot_general(p.astype(v_ref.dtype), v_ref[b, 0],
                                      (((1,), (0,)), ((), ())),
                                      preferred_element_type=jnp.float32)
             o_ref[b, 0] = (pv / l).astype(o_ref.dtype)
-            lse_ref[b, 0] = m + jnp.log(l)
+            lse_ref[b, 0] = m * lse_mult + jnp.log(l)
             continue
         s = jnp.where(mask, s, _NEG_INF)
         m = jnp.max(s, axis=-1, keepdims=True)
         m_safe = jnp.where(m > _NEG_INF / 2, m, 0.0)
-        p = jnp.where(mask, jnp.exp(s - m_safe), 0.0)
+        p = jnp.where(mask, expf(s - m_safe), 0.0)
         l = jnp.sum(p, axis=-1, keepdims=True)
         l_safe = jnp.where(l > 0.0, l, 1.0)
         pv = jax.lax.dot_general(p.astype(v_ref.dtype), v_ref[b, 0],
                                  (((1,), (0,)), ((), ())),
                                  preferred_element_type=jnp.float32)
         o_ref[b, 0] = (pv / l_safe).astype(o_ref.dtype)
-        lse_ref[b, 0] = jnp.where(l > 0.0, m_safe + jnp.log(l_safe),
+        lse_ref[b, 0] = jnp.where(l > 0.0, m_safe * lse_mult + jnp.log(l_safe),
                                   _NEG_INF)
 
 
@@ -436,17 +444,22 @@ def _fwd(q, k, v, w, causal, sm_scale, bidirectional, num_buckets,
                  <= _TABLE_BUDGET_BYTES)
     if use_table:
         g_off, t_min, _ = _offset_geometry(mp, np_, block_m, block_n)
+        bfold = n_j == 1 and _bfold_ok(batch, block_n, d)
+        exp2 = _exp2_on() and bfold
         table, _, _ = _build_offset_table(
-            w, mp, np_, block_m, block_n, bidirectional=bidirectional,
+            w * _LOG2E if exp2 else w, mp, np_, block_m, block_n,
+            bidirectional=bidirectional,
             num_buckets=num_buckets, max_distance=max_distance,
             dtype=_table_dtype(q.dtype))
-        if (n_j == 1 and _bfold_ok(batch, block_n, d)):
+        if bfold:
+            if exp2:
+                qp = (qp * (sm_scale * _LOG2E)).astype(q.dtype)
             # batch-folded resident-bias specialization (see kernel doc)
             o, lse = pl.pallas_call(
                 functools.partial(
                     _fwd_kernel_nj1_bfold, sm_scale=sm_scale, causal=causal,
                     m_len=m_len, n_len=n_len, block_m=block_m,
-                    block_n=block_n, batch=batch,
+                    block_n=block_n, batch=batch, exp2=exp2,
                     full_tile=(not causal and mp == m_len
                                and np_ == n_len)),
                 grid=(heads, n_i),
@@ -895,7 +908,7 @@ def _bwd_fused_kernel_nj1_bfold(q_ref, k_ref, v_ref, bias_ref, lse_ref,
                                 dw_ref, *, sm_scale, causal, bidirectional,
                                 num_buckets, max_distance, m_len, n_len,
                                 block_m, block_n, batch, dw_mode,
-                                full_tile=False):
+                                exp2=False, full_tile=False):
     """Batch-folded single-KV-tile fused backward, grid (h, i) with the batch
     loop statically unrolled inside (opt-in, FLASHT5_RPE_BFOLD=1).
 
@@ -930,22 +943,30 @@ def _bwd_fused_kernel_nj1_bfold(q_ref, k_ref, v_ref, bias_ref, lse_ref,
         if causal:
             mask = mask & (cols <= rows + (n_len - m_len))
 
+    # exp2: q pre-scaled by sm_scale*log2e, bias table in the log2 domain —
+    # p is identical; g stays natural-domain, so dW needs no change; dk
+    # contracts against the SCALED q and picks up ln2 (see _exp2_on)
+    expf = jnp.exp2 if exp2 else jnp.exp
+    lse_mult = _LOG2E if exp2 else 1.0
+    dk_mult = _LN2 if exp2 else sm_scale
+
     g_sum = None
     for b in range(batch):
         q = q_ref[b, 0]
         k = k_ref[b, 0]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
-        if sm_scale != 1.0:
+        if sm_scale != 1.0 and not exp2:
             s = s * sm_scale
         s = s + bias
         if full_tile:
-            p = jnp.exp(s - lse_ref[b, 0])
+            p = expf(s - lse_ref[b, 0] * lse_mult)
         else:
             lse = lse_ref[b, 0]
             lse_ok = lse > _NEG_INF / 2
             p = jnp.where(mask & lse_ok,
-                          jnp.exp(s - jnp.where(lse_ok, lse, 0.0)), 0.0)
+                          expf(s - jnp.where(lse_ok, lse, 0.0)
+                               * lse_mult), 0.0)
 
         do = do_ref[b, 0]
         dp = jax.lax.dot_general(do, v_ref[b, 0], (((1,), (1,)), ((), ())),
@@ -959,7 +980,7 @@ def _bwd_fused_kernel_nj1_bfold(q_ref, k_ref, v_ref, bias_ref, lse_ref,
             preferred_element_type=jnp.float32)
         dk_ref[b, 0] += jax.lax.dot_general(
             g.astype(q_ref.dtype), q, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32) * sm_scale
+            preferred_element_type=jnp.float32) * dk_mult
         # dq is written once (no across-i accumulation): emit in the input
         # dtype directly so XLA has no f32->bf16 cast pass to run after
         dq_ref[b, 0] = (jax.lax.dot_general(
@@ -1120,12 +1141,17 @@ def _bwd(q, k, v, w, causal, sm_scale, bidirectional, num_buckets,
         while mp % bm2:
             bm2 //= 2
         g2, t2, _ = _offset_geometry(mp, np_, bm2, block_n)
+        bfold = _bfold_ok(batch, block_n, d)
+        exp2 = _exp2_on() and bfold
         table2, _, _ = _build_offset_table(
-            w, mp, np_, bm2, block_n, bidirectional=bidirectional,
+            w * _LOG2E if exp2 else w, mp, np_, bm2, block_n,
+            bidirectional=bidirectional,
             num_buckets=num_buckets, max_distance=max_distance,
             dtype=_table_dtype(q.dtype))
         nb_j1 = max(8, ((w.shape[0] + 7) // 8) * 8)
-        if _bfold_ok(batch, block_n, d):
+        if bfold:
+            if exp2:
+                qp = (qp * (sm_scale * _LOG2E)).astype(q.dtype)
             # batch-folded variant (see _bwd_fused_kernel_nj1_bfold)
             dq, dk, dv, dw_all = pl.pallas_call(
                 functools.partial(
@@ -1134,6 +1160,7 @@ def _bwd(q, k, v, w, causal, sm_scale, bidirectional, num_buckets,
                     num_buckets=num_buckets, max_distance=max_distance,
                     m_len=m_len, n_len=n_len, block_m=bm2,
                     block_n=block_n, batch=batch, dw_mode=_dw_mode(),
+                    exp2=exp2,
                     full_tile=(not causal and mp == m_len and np_ == n_len)),
                 grid=(heads, mp // bm2),
                 in_specs=[

@@ -132,3 +132,32 @@ def test_bfold_nobias_matches_default(monkeypatch, causal, m, n):
     for a, b, name in zip(res, ref, ["o", "dq", "dk", "dv"]):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5,
                                    rtol=1e-5, err_msg=name)
+
+
+@pytest.mark.parametrize("causal,m,n", [(False, 128, 128), (True, 128, 128),
+                                        (True, 70, 133)])
+def test_exp2_matches_default(monkeypatch, causal, m, n):
+    """FLASHT5_EXP2=1 (exp2 on prescaled scores in the batch-folded kernels)
+    must match the default exp path: same o and dq/dk/dv up to the one extra
+    rounding of the q prescale."""
+    rng = np.random.default_rng(57)
+    q = jnp.asarray(rng.standard_normal((3, 2, m, 64)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((3, 2, n, 64)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((3, 2, n, 64)), jnp.float32)
+
+    def vals_and_grads(q, k, v):
+        def loss(q_, k_, v_):
+            return jnp.sum(flash_attention(
+                q_, k_, v_, None, causal=causal, sm_scale=0.125,
+                block_m=128, block_n=256).astype(jnp.float32) ** 2)
+        out = flash_attention(q, k, v, None, causal=causal, sm_scale=0.125,
+                              block_m=128, block_n=256)
+        return (out,) + jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+
+    monkeypatch.setenv("FLASHT5_EXP2", "0")
+    ref = vals_and_grads(q, k, v)
+    monkeypatch.setenv("FLASHT5_EXP2", "1")
+    res = vals_and_grads(q, k, v)
+    for a, b, name in zip(res, ref, ["o", "dq", "dk", "dv"]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4,
+                                   rtol=1e-3, err_msg=name)

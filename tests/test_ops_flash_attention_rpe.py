@@ -269,3 +269,32 @@ def test_rpe_bfold_matches_default(monkeypatch, causal, m, n):
     for a, b, name in zip(res, ref, ["o", "dq", "dk", "dv", "dw"]):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5,
                                    rtol=1e-5, err_msg=name)
+
+
+@pytest.mark.parametrize("causal,m,n", [(False, 128, 128), (True, 128, 128),
+                                        (True, 70, 133)])
+def test_rpe_exp2_matches_default(monkeypatch, causal, m, n):
+    """FLASHT5_EXP2=1 (exp2 on prescaled q + log2-domain bias table in the
+    batch-folded kernels) must match the default exp path on outputs and all
+    four gradients (dw is natural-domain in both)."""
+    nb, maxd, scale = 32, 128, 0.125
+    q, k, v, w = _setup(3, 2, m, n, 64, nb, maxd, seed=59)
+
+    def vals_and_grads(q, k, v, w):
+        def loss(q_, k_, v_, w_):
+            return jnp.sum(flash_attention_rpe(
+                q_, k_, v_, w_, causal=causal, sm_scale=scale,
+                bidirectional=not causal, num_buckets=nb,
+                max_distance=maxd).astype(jnp.float32) ** 2)
+        out = flash_attention_rpe(q, k, v, w, causal=causal, sm_scale=scale,
+                                  bidirectional=not causal, num_buckets=nb,
+                                  max_distance=maxd)
+        return (out,) + jax.grad(loss, argnums=(0, 1, 2, 3))(q, k, v, w)
+
+    monkeypatch.setenv("FLASHT5_EXP2", "0")
+    ref = vals_and_grads(q, k, v, w)
+    monkeypatch.setenv("FLASHT5_EXP2", "1")
+    res = vals_and_grads(q, k, v, w)
+    for a, b, name in zip(res, ref, ["o", "dq", "dk", "dv", "dw"]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4,
+                                   rtol=1e-3, err_msg=name)

@@ -202,6 +202,18 @@ def _matmul(x, w):
     return jnp.dot(x, w.astype(x.dtype))
 
 
+def _merged_proj(*ws):
+    """FLASHT5_MERGED_PROJ=1 (trace-time): fuse same-LHS projections (QKV,
+    the two GLU wi's) into one matmul by concatenating the weights along the
+    output dim — fewer, fatter MXU dispatches in fwd AND in the dW/dx
+    backward contractions. Only for plain (non-quantized) weights; the
+    concat itself is one small weight-sized copy per step."""
+    from flasht5_tpu.ops.quant import QuantizedTensor
+    if _os.environ.get("FLASHT5_MERGED_PROJ", "0") != "1":
+        return False
+    return not any(isinstance(w, QuantizedTensor) for w in ws)
+
+
 def _row_parallel_matmul(config: FlashT5Config, x, w):
     """Row-parallel (k-sharded) matmul + cross-shard reduction.
 
@@ -233,8 +245,14 @@ def _ff(config: FlashT5Config, params: Params, x, *, rng, deterministic):
     act_fn = (functools.partial(jax.nn.gelu, approximate=True)
               if config.use_gelu_act else jax.nn.relu)
     if config.use_glu_mlp:
-        a = act_fn(_matmul(h, params["act"]["wi_0"]))
-        b = _matmul(h, params["act"]["wi_1"])
+        w0, w1 = params["act"]["wi_0"], params["act"]["wi_1"]
+        if _merged_proj(w0, w1):
+            ab = _matmul(h, jnp.concatenate([w0, w1], axis=1))
+            a, b = jnp.split(ab, [w0.shape[1]], axis=-1)
+            a = act_fn(a)
+        else:
+            a = act_fn(_matmul(h, w0))
+            b = _matmul(h, w1)
         h = a * b
     else:
         h = act_fn(_matmul(h, params["act"]["wi"]))
@@ -306,9 +324,23 @@ def _attention(
     # config: under shard_map TP each shard owns num_heads/t heads
     h = params["Wq"].shape[1] // dkv
 
-    q = _matmul(hidden_states, params["Wq"]).reshape(b, m, h, dkv)
-    k = _matmul(kv_src, params["Wk"]).reshape(b, n, h, dkv)
-    v = _matmul(kv_src, params["Wv"]).reshape(b, n, h, dkv)
+    wq, wk, wv = params["Wq"], params["Wk"], params["Wv"]
+    if _merged_proj(wq, wk, wv):
+        if key_value_states is None:
+            qkv = _matmul(hidden_states, jnp.concatenate([wq, wk, wv], 1))
+            q, k, v = jnp.split(
+                qkv, [wq.shape[1], wq.shape[1] + wk.shape[1]], axis=-1)
+        else:
+            q = _matmul(hidden_states, wq)
+            kv = _matmul(kv_src, jnp.concatenate([wk, wv], 1))
+            k, v = jnp.split(kv, [wk.shape[1]], axis=-1)
+        q = q.reshape(b, m, h, dkv)
+        k = k.reshape(b, n, h, dkv)
+        v = v.reshape(b, n, h, dkv)
+    else:
+        q = _matmul(hidden_states, wq).reshape(b, m, h, dkv)
+        k = _matmul(kv_src, wk).reshape(b, n, h, dkv)
+        v = _matmul(kv_src, wv).reshape(b, n, h, dkv)
 
     pe_params = params.get("pe_encoding")
     if config.position_encoding_type == "RoPE":

@@ -262,3 +262,31 @@ def test_randomized_positions_rope_train_path():
     det2 = t5.forward(config, params, input_ids=input_ids, labels=labels)
     np.testing.assert_allclose(np.asarray(det["logits"]),
                                np.asarray(det2["logits"]))
+
+
+def test_merged_proj_matches_default(monkeypatch):
+    """FLASHT5_MERGED_PROJ=1 (fused QKV / KV / GLU-wi matmuls) must match
+    the per-weight matmul path: loss and every parameter gradient."""
+    config = tiny_config()
+    params = t5.init_params(jax.random.PRNGKey(3), config)
+    input_ids, labels = _batch(config)
+
+    def loss_and_grads():
+        def loss_fn(p):
+            return t5.forward(config, p, input_ids=input_ids,
+                              labels=labels)["loss"]
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        return loss, grads
+
+    monkeypatch.setenv("FLASHT5_MERGED_PROJ", "0")
+    l0, g0 = loss_and_grads()
+    monkeypatch.setenv("FLASHT5_MERGED_PROJ", "1")
+    l1, g1 = loss_and_grads()
+    # the model computes in bf16: regrouping the matmuls changes rounding
+    np.testing.assert_allclose(float(l1), float(l0), rtol=1e-4)
+    flat0 = jax.tree_util.tree_leaves_with_path(g0)
+    flat1 = jax.tree_util.tree_leaves_with_path(g1)
+    for (p0, a), (p1, b) in zip(flat0, flat1):
+        assert p0 == p1
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=3e-3,
+                                   rtol=3e-2, err_msg=str(p0))

@@ -130,7 +130,8 @@ def main():
 
     def ce_step(lg):
         losses, _ = cross_entropy_loss(lg, labels, 1e-4, 0.0)
-        return lg + losses[:, None] * 1e-30  # keep the dependency live
+        # keep the dependency live; cast back so the scan carry dtype holds
+        return (lg + losses[:, None] * 1e-30).astype(lg.dtype)
 
     sec = chained_seconds(ce_step, logits)
     # bytes: bf16 logits read by the kernel + the bf16 pass-through write

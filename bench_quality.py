@@ -89,21 +89,29 @@ def main():
             batches.append((ids, ((ids[:, :32] + 3) % config.vocab_size).astype(np.int32)))
 
     ppl_fp = eval_ppl(config, params, batches)
-    ppl_int8 = eval_ppl(config, quantize_params(params), batches)
-    delta = ppl_int8 - ppl_fp
-    # acceptance: north-star absolute criterion (<=0.1 ppl) when evaluating a
-    # real low-ppl checkpoint; relative <=1% as the scale-aware fallback for
-    # the synthetic harness
-    ok = abs(delta) <= 0.1 or abs(delta) / ppl_fp <= 0.01
-    print(json.dumps({
-        "metric": "delta_ppl_int8_weight_only",
-        "value": round(delta, 4),
-        "unit": "ppl",
-        "ppl_fp": round(ppl_fp, 4),
-        "ppl_int8": round(ppl_int8, 4),
-        "rel_delta": round(delta / ppl_fp, 6),
-        "vs_baseline": 1.0 if ok else 0.0,
-    }))
+    variants = [
+        ("int8_weight_only", dict(fmt="int8")),
+        ("fp8_weight_only", dict(fmt="fp8")),
+        ("int8_weight_only_g64", dict(fmt="int8", group_size=64)),
+        ("fp8_weight_only_g64", dict(fmt="fp8", group_size=64)),
+    ]
+    for tag, kw in variants:
+        fmt = kw.pop("fmt")
+        ppl_q = eval_ppl(config, quantize_params(params, fmt, **kw), batches)
+        delta = ppl_q - ppl_fp
+        # acceptance: north-star absolute criterion (<=0.1 ppl) when
+        # evaluating a real low-ppl checkpoint; relative <=1% as the
+        # scale-aware fallback for the synthetic harness
+        ok = abs(delta) <= 0.1 or abs(delta) / ppl_fp <= 0.01
+        print(json.dumps({
+            "metric": f"delta_ppl_{tag}",
+            "value": round(delta, 4),
+            "unit": "ppl",
+            "ppl_fp": round(ppl_fp, 4),
+            "ppl_quant": round(ppl_q, 4),
+            "rel_delta": round(delta / ppl_fp, 6),
+            "vs_baseline": 1.0 if ok else 0.0,
+        }), flush=True)
 
 
 if __name__ == "__main__":

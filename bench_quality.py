@@ -6,8 +6,11 @@ Usage:
     python bench_quality.py ckpt.safetensors   # real checkpoint (FAT5 naming)
 
 Evaluates teacher-forced perplexity on a fixed token stream with the same
-model in (a) full precision, (b) INT8 weight-only, and reports the deltas as
-one JSON line per config.
+model in full precision and in four weight-only quantized variants —
+INT8 and FP8-E4M3, each with per-output-channel and group-wise (g64) scales
+— and reports one JSON line per variant. Weights whose input dim is not
+divisible by the group size fall back to per-channel scales; the line's
+`g64_fallbacks` field counts them (0 = every layer really ran group-wise).
 """
 
 import json
@@ -19,7 +22,7 @@ import numpy as np
 
 from flasht5_tpu.config import FlashT5Config
 from flasht5_tpu.models import t5
-from flasht5_tpu.quantize import quantize_params
+from flasht5_tpu.quantize import count_group_fallbacks, quantize_params
 
 
 def eval_ppl(config, params, batches):
@@ -97,6 +100,8 @@ def main():
     ]
     for tag, kw in variants:
         fmt = kw.pop("fmt")
+        fallbacks = (count_group_fallbacks(params, kw["group_size"])
+                     if kw.get("group_size") else None)
         ppl_q = eval_ppl(config, quantize_params(params, fmt, **kw), batches)
         delta = ppl_q - ppl_fp
         # acceptance: north-star absolute criterion (<=0.1 ppl) when
@@ -111,6 +116,7 @@ def main():
             "ppl_quant": round(ppl_q, 4),
             "rel_delta": round(delta / ppl_fp, 6),
             "vs_baseline": 1.0 if ok else 0.0,
+            **({} if fallbacks is None else {"g64_fallbacks": fallbacks}),
         }), flush=True)
 
 

@@ -89,6 +89,11 @@ class FlashT5Config:
     fire_mlp_width: int = 32
     use_masking: bool = False
     attention_scale: Optional[float] = None
+    # Reference quirk (positional_encoding.py:319-330): FlashT5Attention calls
+    # its rotary encoder with (q, k, v) all present, which hits the branch
+    # that rotates **v** as well (with the k-side tables). True = bit-parity
+    # with reference RoPE checkpoints; False = standard RoPE (q/k only).
+    rope_rotate_v: bool = True
 
     # --- TPU-native extensions (no reference equivalent) ---
     dtype: str = "bfloat16"          # activation/compute dtype

@@ -34,6 +34,19 @@ _FAT5_PATTERNS = [
      lambda m: ("decoder", int(m.group(1)), "cross_attention_layer", "cross_attention", m.group(2)), True),
     (re.compile(r"^(encoder|decoder)\.block\.(\d+)\.self_attention_layer\.self_attention\.pe_encoding\.relative_attention_bias\.weight$"),
      lambda m: (m.group(1), int(m.group(2)), "self_attention_layer", "self_attention", "pe_encoding", "relative_attention_bias"), False),
+    # FIRE pe params (reference: positional_encoding.py:358-372 —
+    # mlp.0 = Linear(1, width), mlp.2 = Linear(width, n_heads), plus the
+    # scalars c / init_L / L_multiplier)
+    (re.compile(r"^(encoder|decoder)\.block\.(\d+)\.self_attention_layer\.self_attention\.pe_encoding\.mlp\.0\.weight$"),
+     lambda m: (m.group(1), int(m.group(2)), "self_attention_layer", "self_attention", "pe_encoding", "mlp", "w1"), True),
+    (re.compile(r"^(encoder|decoder)\.block\.(\d+)\.self_attention_layer\.self_attention\.pe_encoding\.mlp\.0\.bias$"),
+     lambda m: (m.group(1), int(m.group(2)), "self_attention_layer", "self_attention", "pe_encoding", "mlp", "b1"), False),
+    (re.compile(r"^(encoder|decoder)\.block\.(\d+)\.self_attention_layer\.self_attention\.pe_encoding\.mlp\.2\.weight$"),
+     lambda m: (m.group(1), int(m.group(2)), "self_attention_layer", "self_attention", "pe_encoding", "mlp", "w2"), True),
+    (re.compile(r"^(encoder|decoder)\.block\.(\d+)\.self_attention_layer\.self_attention\.pe_encoding\.mlp\.2\.bias$"),
+     lambda m: (m.group(1), int(m.group(2)), "self_attention_layer", "self_attention", "pe_encoding", "mlp", "b2"), False),
+    (re.compile(r"^(encoder|decoder)\.block\.(\d+)\.self_attention_layer\.self_attention\.pe_encoding\.(c|init_L|L_multiplier)$"),
+     lambda m: (m.group(1), int(m.group(2)), "self_attention_layer", "self_attention", "pe_encoding", m.group(3)), False),
     # layer norms
     (re.compile(r"^(encoder|decoder)\.block\.(\d+)\.self_attention_layer\.layer_norm\.weight$"),
      lambda m: (m.group(1), int(m.group(2)), "self_attention_layer", "layer_norm", "weight"), False),
@@ -168,9 +181,18 @@ def params_to_fat5_state_dict(params: Params) -> Dict[str, np.ndarray]:
     def attn(prefix, p, kind):
         for name in ("Wq", "Wk", "Wv", "o"):
             out[f"{prefix}.{kind}.{name}.weight"] = np.asarray(p[name]).T
-        if "pe_encoding" in p:
+        pe = p.get("pe_encoding")
+        if pe is not None and "relative_attention_bias" in pe:
             out[f"{prefix}.{kind}.pe_encoding.relative_attention_bias.weight"] = (
-                np.asarray(p["pe_encoding"]["relative_attention_bias"]))
+                np.asarray(pe["relative_attention_bias"]))
+        elif pe is not None and "mlp" in pe:  # FIRE
+            base = f"{prefix}.{kind}.pe_encoding"
+            out[f"{base}.mlp.0.weight"] = np.asarray(pe["mlp"]["w1"]).T
+            out[f"{base}.mlp.0.bias"] = np.asarray(pe["mlp"]["b1"])
+            out[f"{base}.mlp.2.weight"] = np.asarray(pe["mlp"]["w2"]).T
+            out[f"{base}.mlp.2.bias"] = np.asarray(pe["mlp"]["b2"])
+            for name in ("c", "init_L", "L_multiplier"):
+                out[f"{base}.{name}"] = np.asarray(pe[name])
 
     for stack in ("encoder", "decoder"):
         if stack not in params:

@@ -69,14 +69,24 @@ def init_decode_state(config: FlashT5Config, params: Dict,
             # RoPE applies in every layer including cross-attention
             # (reference quirk: modeling_flash_t5.py:214, 258)
             rotary_dim = int(dkv * config.rotary_emb_fraction)
+            tlen = n_enc
+            if config.rotary_scale_base is not None:
+                # xPos center = table_len//2; reference builds the cache at
+                # max_sequence_length (positional_encoding.py:271-273, 285)
+                tlen = max(config.max_sequence_length, n_enc)
             cos, sin, cos_k, sin_k = positional.rope_cos_sin(
-                n_enc, rotary_dim, base=config.rotary_base,
+                tlen, rotary_dim, base=config.rotary_base,
                 scale_base=config.rotary_scale_base, dtype=jnp.float32)
-            ckk = cos if cos_k is None else cos_k
-            skk = sin if sin_k is None else sin_k
+            ckk = (cos if cos_k is None else cos_k)[:n_enc]
+            skk = (sin if sin_k is None else sin_k)[:n_enc]
             ck = jnp.transpose(positional.apply_rotary(
                 jnp.transpose(ck, (0, 2, 1, 3)), ckk, skk,
                 interleaved=config.rotary_interleaved), (0, 2, 1, 3))
+            if config.rope_rotate_v:
+                # reference quirk: v rotated too (positional_encoding.py:330)
+                cv = jnp.transpose(positional.apply_rotary(
+                    jnp.transpose(cv, (0, 2, 1, 3)), ckk, skk,
+                    interleaved=config.rotary_interleaved), (0, 2, 1, 3))
         layers.append(LayerCache(
             self_k=jnp.zeros((b, h, max_decode_len, dkv), dt),
             self_v=jnp.zeros((b, h, max_decode_len, dkv), dt),
@@ -135,8 +145,11 @@ def decode_step(config: FlashT5Config, params: Dict, state: DecodeState,
 
         if config.position_encoding_type == "RoPE":
             rotary_dim = int(dkv * config.rotary_emb_fraction)
+            tlen = max_len
+            if config.rotary_scale_base is not None:
+                tlen = max(config.max_sequence_length, max_len)
             cos, sin, cos_k, sin_k = positional.rope_cos_sin(
-                max_len, rotary_dim, base=config.rotary_base,
+                tlen, rotary_dim, base=config.rotary_base,
                 scale_base=config.rotary_scale_base, dtype=jnp.float32)
             cos_t = jax.lax.dynamic_slice_in_dim(cos, t, 1, 0)
             sin_t = jax.lax.dynamic_slice_in_dim(sin, t, 1, 0)
@@ -146,11 +159,17 @@ def decode_step(config: FlashT5Config, params: Dict, state: DecodeState,
                 (0, 2, 1, 3))
             ck = cos if cos_k is None else cos_k
             sk = sin if sin_k is None else sin_k
+            ck_t = jax.lax.dynamic_slice_in_dim(ck, t, 1, 0)
+            sk_t = jax.lax.dynamic_slice_in_dim(sk, t, 1, 0)
             kb = jnp.transpose(k_new, (0, 2, 1, 3))
             k_new = jnp.transpose(positional.apply_rotary(
-                kb, jax.lax.dynamic_slice_in_dim(ck, t, 1, 0),
-                jax.lax.dynamic_slice_in_dim(sk, t, 1, 0),
+                kb, ck_t, sk_t,
                 interleaved=config.rotary_interleaved), (0, 2, 1, 3))
+            if config.rope_rotate_v:
+                vb = jnp.transpose(v_new, (0, 2, 1, 3))
+                v_new = jnp.transpose(positional.apply_rotary(
+                    vb, ck_t, sk_t,
+                    interleaved=config.rotary_interleaved), (0, 2, 1, 3))
 
         self_k = jax.lax.dynamic_update_slice(cache.self_k, k_new, (0, 0, t, 0))
         self_v = jax.lax.dynamic_update_slice(cache.self_v, v_new, (0, 0, t, 0))
@@ -188,8 +207,11 @@ def decode_step(config: FlashT5Config, params: Dict, state: DecodeState,
         qc = _proj_heads(normed, ca["Wq"], h, dkv)
         if config.position_encoding_type == "RoPE":
             rotary_dim = int(dkv * config.rotary_emb_fraction)
+            tlen = max_len
+            if config.rotary_scale_base is not None:
+                tlen = max(config.max_sequence_length, max_len)
             cos, sin, _, _ = positional.rope_cos_sin(
-                max_len, rotary_dim, base=config.rotary_base,
+                tlen, rotary_dim, base=config.rotary_base,
                 scale_base=config.rotary_scale_base, dtype=jnp.float32)
             qc = jnp.transpose(positional.apply_rotary(
                 jnp.transpose(qc, (0, 2, 1, 3)),

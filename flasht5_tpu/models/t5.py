@@ -349,7 +349,15 @@ def _attention(
         rotary_dim = int(dkv * config.rotary_emb_fraction)
         randomize = (config.use_randomized_position_encoding
                      and not deterministic and rng is not None)
-        table_len = config.max_sequence_length if randomize else max(m, n)
+        if randomize:
+            table_len = config.max_sequence_length
+        elif config.rotary_scale_base is not None:
+            # xPos scale is centered at table_len//2 and the reference builds
+            # its cache at max_sequence_length (positional_encoding.py:285,
+            # 271-273), so the table length is part of the math.
+            table_len = max(config.max_sequence_length, m, n)
+        else:
+            table_len = max(m, n)
         cos, sin, cos_k, sin_k = positional.rope_cos_sin(
             table_len, rotary_dim, base=config.rotary_base,
             scale_base=config.rotary_scale_base, dtype=jnp.float32)
@@ -369,6 +377,10 @@ def _attention(
         sk = sin if sin_k is None else sin_k
         k = positional.apply_rotary(k, ck[:n], sk[:n],
                                     interleaved=config.rotary_interleaved)
+        if config.rope_rotate_v:
+            # reference quirk: v is rotated too (positional_encoding.py:330)
+            v = positional.apply_rotary(v, ck[:n], sk[:n],
+                                        interleaved=config.rotary_interleaved)
     elif (position_bias is None and has_pe
           and config.position_encoding_type in ("t5", "ALiBi", "FIRE")
           and config.attention_type != "pallas_rpe"):
@@ -380,10 +392,13 @@ def _attention(
         position_bias = jnp.broadcast_to(position_bias, (b, h, m, n))
 
     if position_bias is not None and mask is not None and config.use_masking:
-        # fold key-padding mask into the bias (reference: modeling:266-270)
+        # fold the mask into the bias, reproducing the reference's broadcast
+        # exactly (modeling:266-270): a 2-D (B, N) mask becomes (B, 1, N, 1),
+        # which for self-attention (M == N) masks *query rows*, not key
+        # columns — a reference quirk pinned by the golden parity tests.
         mm = mask[:, None]                       # (B, 1, N) or (B, 1, M, N)
         if mm.ndim == 3:
-            mm = mm[:, :, None, :]               # (B, 1, 1, N)
+            mm = mm[:, :, :, None]               # (B, 1, N, 1)
         position_bias = jnp.where(mm.astype(bool), position_bias,
                                   jnp.finfo(position_bias.dtype).min)
 

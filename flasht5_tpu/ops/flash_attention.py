@@ -905,4 +905,11 @@ def flash_attention(
         return _flash_attention_nobias(q, k, v, causal, sm_scale, block_m, block_n)
     if bias.ndim != 4:
         raise ValueError(f"bias must be 4D (B|1,H|1,M,N), got {bias.shape}")
+    # Clamp mask-like bias values (finfo.min / -inf, e.g. from use_masking —
+    # modeling_flash_t5.py:266-270) above the kernel's -1e30 empty-row
+    # sentinel. Partially-masked rows are unchanged (exp(-1e29 - m) still
+    # underflows to 0 against any finite row max); fully-masked rows become
+    # uniform attention, matching torch/jnp softmax over equal finite scores
+    # instead of the kernel's empty-row zero output.
+    bias = jnp.maximum(bias, jnp.asarray(-1e29, bias.dtype))
     return _flash_attention_bias(q, k, v, bias, causal, sm_scale, block_m, block_n)

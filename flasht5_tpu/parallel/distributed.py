@@ -28,11 +28,16 @@ def initialize_multihost(coordinator_address: Optional[str] = None,
     """
     if num_processes is None and os.environ.get("JAX_NUM_PROCESSES"):
         num_processes = int(os.environ["JAX_NUM_PROCESSES"])
-    if jax.process_count() == 1 and (coordinator_address or num_processes):
-        jax.distributed.initialize(
-            coordinator_address=coordinator_address,
-            num_processes=num_processes,
-            process_id=process_id)
+    if coordinator_address or num_processes:
+        # Probe the distributed runtime state directly: jax.process_count()
+        # would initialize the local backend first, after which
+        # jax.distributed.initialize can no longer join the job.
+        from jax._src import distributed as _distributed
+        if _distributed.global_state.client is None:
+            jax.distributed.initialize(
+                coordinator_address=coordinator_address,
+                num_processes=num_processes,
+                process_id=process_id)
     return {
         "process_index": jax.process_index(),
         "process_count": jax.process_count(),

@@ -45,16 +45,43 @@ def quantize_params(params: Any, mode: str = "int8",
     scale-storage cost of 4·(K/group_size)·N bytes per weight.
     """
     quantizer = {"int8": quantize_int8, "fp8": quantize_fp8}[mode]
+    fallbacks = []
 
     def leaf(path, x):
         if _should_quantize(jax.tree_util.keystr(path), x):
-            if group_size is not None and x.shape[0] % group_size == 0:
-                return quantizer(x, group_size)
+            if group_size is not None:
+                if x.shape[0] % group_size == 0:
+                    return quantizer(x, group_size)
+                fallbacks.append(jax.tree_util.keystr(path))
             return quantizer(x)
         return x
 
-    return jax.tree_util.tree_map_with_path(
+    out = jax.tree_util.tree_map_with_path(
         leaf, params, is_leaf=lambda x: isinstance(x, QuantizedTensor))
+    if fallbacks:
+        import warnings
+        warnings.warn(
+            f"quantize_params: {len(fallbacks)} weight(s) with input dim not "
+            f"divisible by group_size={group_size} fell back to per-channel "
+            f"scales (first: {fallbacks[0]})", stacklevel=2)
+    return out
+
+
+def count_group_fallbacks(params: Any, group_size: int) -> int:
+    """Number of quantizable weights whose input dim is not divisible by
+    `group_size` (these fall back to per-channel scales in quantize_params)."""
+    n = 0
+
+    def leaf(path, x):
+        nonlocal n
+        if (_should_quantize(jax.tree_util.keystr(path), x)
+                and x.shape[0] % group_size != 0):
+            n += 1
+        return x
+
+    jax.tree_util.tree_map_with_path(
+        leaf, params, is_leaf=lambda x: isinstance(x, QuantizedTensor))
+    return n
 
 
 def dequantize_params(params: Any, dtype=None) -> Any:

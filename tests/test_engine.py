@@ -86,6 +86,69 @@ def test_engine_int8_kv_cache():
         np.testing.assert_array_equal(a.result[:n], b.result[:n])
 
 
+def test_engine_int8_kv_drift_bound_32_steps():
+    """Long-horizon KV-quantization drift: teacher-forced (both engines fed
+    the fp engine's tokens) logit error over 32 decode steps must stay small
+    — pins INT8-KV quality beyond the first-tokens agreement above."""
+    config = tiny_config().replace(relative_attention_max_distance=64)
+    params = t5.init_params(jax.random.PRNGKey(0), config)
+    rng = np.random.default_rng(9)
+    req = lambda: Request(uid=0,
+                          input_ids=rng.integers(2, 256, size=(12,)).astype(np.int32),
+                          max_new_tokens=40)
+    ids = req()
+    ecfg = dict(max_slots=1, max_decode_len=40, max_encode_len=16,
+                encode_buckets=(16,))
+    eng_fp = InferenceEngine(config, params, EngineConfig(**ecfg))
+    eng_q = InferenceEngine(config, params,
+                            EngineConfig(kv_dtype="int8", **ecfg))
+    eng_fp.admit_request(ids, 0)
+    eng_q.admit_request(Request(uid=0, input_ids=ids.input_ids.copy(),
+                                max_new_tokens=40), 0)
+
+    token = np.zeros((1,), np.int32)  # decoder start token
+    mses, rel = [], []
+    for _ in range(32):
+        nxt_fp, logits_fp = eng_fp.probe_step(token_override=token)
+        _, logits_q = eng_q.probe_step(token_override=token)
+        mses.append(float(np.mean((logits_fp - logits_q) ** 2)))
+        rel.append(float(np.max(np.abs(logits_fp - logits_q))
+                         / (np.max(np.abs(logits_fp)) + 1e-9)))
+        token = nxt_fp.astype(np.int32)  # teacher-force the fp trajectory
+    # drift must stay bounded across the horizon, not just at step 1
+    assert max(mses) < 0.05, mses
+    assert max(rel) < 0.25, rel
+    # and must not grow without bound: late-window error comparable to early
+    assert np.mean(mses[16:]) < 4 * max(np.mean(mses[:8]), 1e-4), mses
+
+
+def test_engine_midstream_arrivals():
+    """Admission under load: requests arriving while the engine is decoding
+    must be admitted mid-stream, produce the same tokens as an all-upfront
+    run, and carry consistent timing stamps."""
+    config = tiny_config()
+    params = t5.init_params(jax.random.PRNGKey(0), config)
+    rng = np.random.default_rng(3)
+    seqs = [rng.integers(2, 256, size=(L,)).astype(np.int32)
+            for L in (6, 9, 12, 7)]
+    mk = lambda arrivals: [
+        Request(uid=i, input_ids=s.copy(), max_new_tokens=8,
+                arrival_s=arrivals[i])
+        for i, s in enumerate(seqs)]
+    ecfg = EngineConfig(max_slots=2, max_decode_len=10, max_encode_len=16,
+                        encode_buckets=(16,), steps_per_sync=2)
+    engine = InferenceEngine(config, params, ecfg)
+    upfront = engine.run(mk([0.0] * 4))
+    staggered = engine.run(mk([0.0, 0.0, 0.15, 0.3]))
+    for a, b in zip(upfront, staggered):
+        np.testing.assert_array_equal(a.result, b.result)
+    for r in staggered:
+        assert r.admitted_at is not None and r.admitted_at >= r.arrival_s
+        assert r.first_token_at is not None
+        assert r.first_token_at >= r.admitted_at
+        assert r.finished_at >= r.first_token_at
+
+
 def test_engine_decode_kernel_parity():
     """The fused Pallas decode kernel path must produce the same tokens as
     the jnp einsum path (bf16 cache and int8 cache)."""

@@ -131,6 +131,56 @@ def test_rpe_table_and_chain_paths_agree(monkeypatch):
                                atol=2e-3, rtol=1e-2)
 
 
+def test_rpe_budget_boundary_flips_path(monkeypatch):
+    """Dispatch at the exact table budget: a budget equal to the computed
+    table size keeps the offset-table fast path; one byte less flips to the
+    in-kernel chain (the long-context fallback, SURVEY.md §5) — and the two
+    agree numerically at the boundary."""
+    import flasht5_tpu.ops.flash_attention_rpe as rpe_mod
+
+    nb, maxd, scale = 8, 20, 0.25
+    q, k, v, w = _setup(1, 2, 256, 256, 32, nb, maxd, seed=11)
+
+    seen = {}
+    orig_tb = rpe_mod._table_bytes
+
+    def spy_tb(*a):
+        out = orig_tb(*a)
+        seen["bytes"] = out
+        return out
+
+    builds = []
+    orig_build = rpe_mod._build_offset_table
+
+    def spy_build(*a, **kw):
+        builds.append(1)
+        return orig_build(*a, **kw)
+
+    monkeypatch.setattr(rpe_mod, "_table_bytes", spy_tb)
+    monkeypatch.setattr(rpe_mod, "_build_offset_table", spy_build)
+
+    kwargs = dict(causal=False, sm_scale=scale, bidirectional=True,
+                  num_buckets=nb, max_distance=maxd)
+    out_ref = flash_attention_rpe(q, k, v, w, **kwargs)
+    assert builds, "default budget should use the offset-table path"
+    boundary = seen["bytes"]
+
+    monkeypatch.setattr(rpe_mod, "_TABLE_BUDGET_BYTES", boundary)
+    builds.clear()
+    out_at = flash_attention_rpe(q, k, v, w, **kwargs)
+    assert builds, "budget == table size must still take the table path"
+
+    monkeypatch.setattr(rpe_mod, "_TABLE_BUDGET_BYTES", boundary - 1)
+    builds.clear()
+    out_over = flash_attention_rpe(q, k, v, w, **kwargs)
+    assert not builds, "budget exceeded must take the in-kernel chain path"
+
+    np.testing.assert_allclose(np.asarray(out_at), np.asarray(out_ref),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out_over), np.asarray(out_ref),
+                               atol=2e-3, rtol=1e-2)
+
+
 def test_rpe_model_integration_multilayer():
     """Regression: with num_layers > 1, the bucket table must reach blocks
     1..N-1 (round-1 bug: flash_attention_rpe got None there and silently ran

@@ -257,7 +257,7 @@ def _fwd_kernel_nj1(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, *,
 
 def _fwd_kernel_nj1_bfold(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, *,
                           sm_scale, causal, m_len, n_len, block_m, block_n,
-                          batch, exp2=False, full_tile=False):
+                          batch, exp2=False, full_tile=False, ablate=()):
     """Batch-folded single-KV-tile forward: grid (h, i), the batch loop
     statically unrolled INSIDE the kernel (opt-in, FLASHT5_RPE_BFOLD=1).
 
@@ -281,20 +281,39 @@ def _fwd_kernel_nj1_bfold(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, *,
     expf = jnp.exp2 if exp2 else jnp.exp
     lse_mult = _LN2 if exp2 else 1.0
     bias = bias_ref[0, 0]
+    # `ablate` (diagnostic only, tools/attn_ablate.py): drop named component
+    # passes to expose the kernel's cost anatomy on-chip. Never set in
+    # production dispatch.
     for b in range(batch):
-        s = jax.lax.dot_general(q_ref[b, 0], k_ref[b, 0],
-                                (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)
+        if "qk" in ablate:
+            s = jnp.zeros((block_m, block_n), jnp.float32)
+        else:
+            s = jax.lax.dot_general(q_ref[b, 0], k_ref[b, 0],
+                                    (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
         if sm_scale != 1.0 and not exp2:
             s = s * sm_scale
-        s = s + bias
+        if "bias" not in ablate:
+            s = s + bias
         if full_tile:
-            m = jnp.max(s, axis=-1, keepdims=True)
-            p = expf(s - m)
-            l = jnp.sum(p, axis=-1, keepdims=True)
-            pv = jax.lax.dot_general(p.astype(v_ref.dtype), v_ref[b, 0],
-                                     (((1,), (0,)), ((), ())),
-                                     preferred_element_type=jnp.float32)
+            if "softmax" in ablate:
+                m = jnp.zeros((block_m, 1), jnp.float32)
+                l = jnp.ones((block_m, 1), jnp.float32)
+                p = s
+            elif "exp" in ablate:
+                m = jnp.max(s, axis=-1, keepdims=True)
+                p = s - m
+                l = jnp.sum(p, axis=-1, keepdims=True)
+            else:
+                m = jnp.max(s, axis=-1, keepdims=True)
+                p = expf(s - m)
+                l = jnp.sum(p, axis=-1, keepdims=True)
+            if "pv" in ablate:
+                pv = p[:, : o_ref.shape[-1]].astype(jnp.float32)
+            else:
+                pv = jax.lax.dot_general(p.astype(v_ref.dtype), v_ref[b, 0],
+                                         (((1,), (0,)), ((), ())),
+                                         preferred_element_type=jnp.float32)
             o_ref[b, 0] = (pv / l).astype(o_ref.dtype)
             lse_ref[b, 0] = m * lse_mult + jnp.log(l)
             continue
@@ -461,7 +480,9 @@ def _fwd(q, k, v, w, causal, sm_scale, bidirectional, num_buckets,
                     m_len=m_len, n_len=n_len, block_m=block_m,
                     block_n=block_n, batch=batch, exp2=exp2,
                     full_tile=(not causal and mp == m_len
-                               and np_ == n_len)),
+                               and np_ == n_len),
+                    ablate=tuple(x for x in _os.environ.get(
+                        "FLASHT5_ABL", "").split(",") if x)),
                 grid=(heads, n_i),
                 in_specs=[
                     pl.BlockSpec((batch, 1, block_m, d),

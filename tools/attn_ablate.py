@@ -19,6 +19,7 @@ import time
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, _REPO)
+sys.path.insert(0, os.path.join(_REPO, "tools"))
 
 import jax
 import jax.numpy as jnp
@@ -71,12 +72,23 @@ def main():
     for variant in args.variants.split(","):
         os.environ.pop("FLASHT5_RPE_DW_MODE", None)
         os.environ.pop("FLASHT5_RPE_FUSED_BWD", None)
+        os.environ.pop("FLASHT5_ABL", None)
         try:
-            if variant == "fwd":
-                fn = jax.jit(lambda q, k, v, w: flash_attention_rpe(
-                    q, k, v, w, sm_scale=1.0, causal=False,
-                    bidirectional=True))
-                ms = _measure(fn, (q, k, v, w), n)
+            if variant == "fwd" or variant.startswith("fwd-"):
+                # fwd-<component>: drop a component pass inside the bfold
+                # forward kernel (qk / bias / exp / softmax / pv — see
+                # _fwd_kernel_nj1_bfold ablate) to expose the cost anatomy.
+                # Differential chained-scan timing (dispatch cancelled).
+                if variant.startswith("fwd-"):
+                    os.environ["FLASHT5_ABL"] = variant[4:].replace("+", ",")
+                from speed_of_light_tpu import chained_seconds
+
+                def fstep(qq, kk, vv, ww):
+                    return flash_attention_rpe(
+                        qq, kk, vv, ww, sm_scale=1.0, causal=False,
+                        bidirectional=True).astype(qq.dtype)
+
+                ms = chained_seconds(fstep, q, k, v, w) * 1e3
             elif variant == "bias":
                 bias = jax.random.normal(
                     jax.random.PRNGKey(9), (1, h, s, s), jnp.bfloat16)

@@ -153,6 +153,14 @@ def main():
         "delta_ppl_int8_g64": round(p_i8g - p_fp, 4),
         "delta_ppl_fp8_g64": round(p_f8g - p_fp, 4),
         "tokens_per_sec": round(result["logs"][-1]["tokens_per_sec"], 1),
+        # NOT comparable to the flagship train bench (138k tok/s): this is a
+        # d_model 256 / 4-layer / vocab-2048 proxy at batch 16x(128+64) whose
+        # sub-ms steps are dominated by per-step host dispatch through the
+        # tunnel. The NUMERICAL path is the production fast path — same
+        # pallas_rpe attention and fused LN/CE kernels as the flagship —
+        # so the delta-ppl columns measure production numerics.
+        "tokens_per_sec_note": ("small-proxy shape, dispatch-bound; "
+                                "kernels identical to the flagship fast path"),
         "backend": jax.default_backend(),
     }
     print(json.dumps(payload), flush=True)

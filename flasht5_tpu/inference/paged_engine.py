@@ -25,7 +25,10 @@ import numpy as np
 from flasht5_tpu.config import FlashT5Config
 from flasht5_tpu.inference import kv_cache
 from flasht5_tpu.inference.engine import KVTensor, Request, _kv_make, _kv_read
-from flasht5_tpu.inference.paged_kv import paged_decode_attention_arrays
+from flasht5_tpu.inference.paged_kv import (
+    paged_decode_attention_arrays,
+    paged_decode_attention_ragged,
+)
 from flasht5_tpu.models import t5
 from flasht5_tpu.ops.quant import quantize_kv
 from flasht5_tpu.positional import relative_position_bucket
@@ -41,6 +44,10 @@ class PagedEngineConfig:
     encode_buckets: Tuple[int, ...] = (64, 128, 256, 512)
     kv_dtype: str = "native"          # pages + cross cache: "native" | "int8"
     steps_per_sync: int = 8
+    # work-list kernel: grid over ACTIVE pages (time ~ tokens in flight)
+    # instead of slots x max_pages_per_slot — the default; set False to use
+    # the dense (slot, page) grid for A/B
+    use_ragged_kernel: bool = True
 
 
 class PagedState:
@@ -223,7 +230,10 @@ class PagedInferenceEngine:
                 pages_k = append(layer["pages_k"], k_new)
                 pages_v = append(layer["pages_v"], v_new)
 
-                attn = paged_decode_attention_arrays(
+                paged_attn = (paged_decode_attention_ragged
+                              if ecfg.use_ragged_kernel
+                              else paged_decode_attention_arrays)
+                attn = paged_attn(
                     q.astype(jnp.float32), pages_k.values, pages_v.values,
                     pages_k.scales, pages_v.scales, page_table, pos + 1,
                     sm_scale=config.softmax_scale,

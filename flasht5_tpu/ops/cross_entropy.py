@@ -143,24 +143,27 @@ def _bwd_kernel(logits_ref, labels_ref, lse_ref, dloss_ref, dz_ref,
     dlogits_ref[...] = grad.astype(dlogits_ref.dtype)
 
 
-def _fwd_kernel_tiled(logits_ref, labels_ref, loss_ref, lse_ref, zloss_ref,
-                      m_acc, se_acc, ll_acc, sl_acc, *,
-                      n_cols: int, total_classes: int, class_start_idx: int,
-                      smoothing: float, logit_scale: float,
-                      lse_square_scale: float, ignore_index: int, split: bool,
+def _fwd_kernel_tiled(logits_ref, lse_ref, sum_ref, m_acc, se_acc, sl_acc, *,
+                      n_cols: int, logit_scale: float, smoothing: float,
                       block_v: int, n_tiles: int, ragged: bool):
-    """Vocab-tiled streaming forward: grid (row_blocks, vocab_tiles) with the
+    """Vocab-tiled streaming LSE: grid (row_blocks, vocab_tiles) with the
     vocab dimension sequential and online-LSE accumulators in VMEM scratch
-    (same rescaling recurrence as flash attention). Replaces the full-vocab
-    row-block kernel whose (br, V) blocks capped br at 32 and left the fwd at
-    0.27 of the HBM roofline; smaller (br, bv) tiles pipeline HBM reads
-    against VPU exp work. Semantics identical to _fwd_kernel (reference
-    cross_entropy_loss.py:52-111)."""
+    (same rescaling recurrence as flash attention). The kernel is a PURE
+    streaming logsumexp (+ optional row-sum for label smoothing): the
+    label-logit gather and all loss assembly live OUTSIDE in XLA — a gather
+    reads `rows` elements from HBM and the row-wise arithmetic fuses for
+    free, so the per-element hot loop here is only convert/scale/max/exp/add
+    (the one-hot compare + iota + select the previous version ran per element
+    cost ~0.1ms/call at the flagship shape). Semantics identical to
+    _fwd_kernel (reference cross_entropy_loss.py:52-111)."""
     j = pl.program_id(1)
-    logits = logits_ref[...].astype(jnp.float32) * logit_scale  # (br, bv)
+    logits = logits_ref[...].astype(jnp.float32)
+    if logit_scale != 1.0:
+        logits = logits * logit_scale
     br, bv = logits.shape
-    col_ids = j * block_v + jax.lax.broadcasted_iota(jnp.int32, (br, bv), 1)
     if ragged:
+        col_ids = j * block_v + jax.lax.broadcasted_iota(
+            jnp.int32, (br, bv), 1)
         valid = col_ids < n_cols
         masked = jnp.where(valid, logits, -jnp.inf)
     else:
@@ -171,7 +174,6 @@ def _fwd_kernel_tiled(logits_ref, labels_ref, loss_ref, lse_ref, zloss_ref,
     def _init():
         m_acc[...] = jnp.full_like(m_acc, -1e30)
         se_acc[...] = jnp.zeros_like(se_acc)
-        ll_acc[...] = jnp.zeros_like(ll_acc)
         sl_acc[...] = jnp.zeros_like(sl_acc)
 
     m_old = m_acc[...]                                   # (br, 1)
@@ -185,14 +187,6 @@ def _fwd_kernel_tiled(logits_ref, labels_ref, loss_ref, lse_ref, zloss_ref,
     m_acc[...] = m_new
     se_acc[...] = se
 
-    labels = labels_ref[...][:, 0]                       # (br,)
-    local_label = labels - class_start_idx
-    onehot = col_ids == local_label[:, None]
-    if ragged:
-        onehot = onehot & valid
-    ll = ll_acc[...] + jnp.sum(jnp.where(onehot, logits, 0.0), axis=-1,
-                               keepdims=True)
-    ll_acc[...] = ll
     if smoothing > 0.0:
         zeroed = jnp.where(valid, logits, 0.0) if ragged else logits
         sl = sl_acc[...] + jnp.sum(zeroed, axis=-1, keepdims=True)
@@ -200,28 +194,8 @@ def _fwd_kernel_tiled(logits_ref, labels_ref, loss_ref, lse_ref, zloss_ref,
 
     @pl.when(j == n_tiles - 1)
     def _emit():
-        lse = (jnp.log(se) + m_new)[:, 0]                # (br,)
-        lse_ref[...] = lse[:, None]
-        in_shard = (local_label >= 0) & (local_label < n_cols)
-        label_logit = ll[:, 0]
-        lse_term = jnp.float32(0.0) if split else lse
-        if smoothing > 0.0:
-            sum_logits = sl[:, 0]
-            loss_in = (lse_term
-                       - smoothing * sum_logits / total_classes
-                       - (1.0 - smoothing) * label_logit)
-            loss_out = smoothing * (lse_term - sum_logits / total_classes)
-            loss = jnp.where(in_shard, loss_in, loss_out)
-        else:
-            loss = jnp.where(in_shard, lse_term - label_logit, 0.0)
-        if split:
-            z = jnp.zeros_like(lse)
-        else:
-            z = lse_square_scale * lse * lse
-            loss = loss + z
-        ignored = labels == ignore_index
-        loss_ref[...] = jnp.where(ignored, 0.0, loss)[:, None]
-        zloss_ref[...] = jnp.where(ignored, 0.0, z)[:, None]
+        lse_ref[...] = jnp.log(se) + m_new
+        sum_ref[...] = sl_acc[...] if smoothing > 0.0 else se
 
 
 def _bwd_kernel_tiled(logits_ref, labels_ref, lse_ref, dloss_ref, dz_ref,
@@ -370,30 +344,53 @@ def _ce_fwd_tiled(logits, labels, lse_square_scale, label_smoothing,
     prow, vpad = plogits.shape
     n_tiles = vpad // bv
     kern = functools.partial(
-        _fwd_kernel_tiled, n_cols=v, total_classes=total_classes or v,
-        class_start_idx=class_start_idx, smoothing=label_smoothing,
-        logit_scale=logit_scale, lse_square_scale=lse_square_scale,
-        ignore_index=ignore_index, split=split, block_v=bv, n_tiles=n_tiles,
+        _fwd_kernel_tiled, n_cols=v, logit_scale=logit_scale,
+        smoothing=label_smoothing, block_v=bv, n_tiles=n_tiles,
         ragged=(vpad != v))
     out_spec = pl.BlockSpec((br, 1), lambda i, j: (i, 0),
                             memory_space=pltpu.VMEM)
-    loss, lse, z = pl.pallas_call(
+    plse, psum = pl.pallas_call(
         kern, grid=(prow // br, n_tiles),
         in_specs=[
             pl.BlockSpec((br, bv), lambda i, j: (i, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((br, 1), lambda i, j: (i, 0),
-                         memory_space=pltpu.VMEM),
         ],
-        out_specs=[out_spec] * 3,
-        out_shape=[jax.ShapeDtypeStruct((prow, 1), jnp.float32)] * 3,
-        scratch_shapes=[pltpu.VMEM((br, 1), jnp.float32)] * 4,
+        out_specs=[out_spec] * 2,
+        out_shape=[jax.ShapeDtypeStruct((prow, 1), jnp.float32)] * 2,
+        scratch_shapes=[pltpu.VMEM((br, 1), jnp.float32)] * 3,
         compiler_params=_compiler_params(
             ("parallel", "arbitrary"), vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret_mode(),
-    )(plogits, plabels.reshape(-1, 1).astype(jnp.int32))
-    res = (logits, labels, lse[:rows, 0])
-    return (loss[:rows, 0], z[:rows, 0]), res
+    )(plogits)
+    lse = plse[:rows, 0]
+
+    # Loss assembly in XLA: gather + row-wise ops on (rows,) vectors, fused
+    # for free next to the kernel. Mirrors _fwd_kernel exactly.
+    local_label = labels.astype(jnp.int32) - class_start_idx
+    in_shard = (local_label >= 0) & (local_label < v)
+    safe = jnp.clip(local_label, 0, v - 1)
+    label_logit = jnp.take_along_axis(
+        logits, safe[:, None], axis=1)[:, 0].astype(jnp.float32) * logit_scale
+    lse_term = jnp.zeros_like(lse) if split else lse
+    if label_smoothing > 0.0:
+        sum_logits = psum[:rows, 0]
+        tc = total_classes or v
+        loss_in = (lse_term - label_smoothing * sum_logits / tc
+                   - (1.0 - label_smoothing) * label_logit)
+        loss_out = label_smoothing * (lse_term - sum_logits / tc)
+        loss = jnp.where(in_shard, loss_in, loss_out)
+    else:
+        loss = jnp.where(in_shard, lse_term - label_logit, 0.0)
+    if split:
+        z = jnp.zeros_like(lse)
+    else:
+        z = lse_square_scale * lse * lse
+        loss = loss + z
+    ignored = labels == ignore_index
+    loss = jnp.where(ignored, 0.0, loss)
+    z = jnp.where(ignored, 0.0, z)
+    res = (logits, labels, lse)
+    return (loss, z), res
 
 
 def _ce_bwd_tiled(lse_square_scale, label_smoothing, logit_scale,

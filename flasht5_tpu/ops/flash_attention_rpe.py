@@ -58,13 +58,19 @@ from flasht5_tpu.runtime import interpret_mode
 
 
 def _table_dtype(q_dtype):
-    """Offset-table storage dtype. Default fp32; FLASHT5_RPE_TABLE_BF16=1
-    stores at model dtype (A/B knob — a first bf16-table attempt measured
-    SLOWER end-to-end than fp32 on v5e, likely the (16,128)-tiled bf16
-    load + relayout in the score add; kept as an experiment switch)."""
-    if _os.environ.get("FLASHT5_RPE_TABLE_BF16") == "1":
-        return q_dtype
-    return jnp.float32
+    """Offset-table storage dtype. Default: MODEL dtype (bf16 for the
+    flagship) — halves the dominant non-QKV copy stream; round-3 chained
+    A/B at (B16,H12,S1024,D64): fwd 0.929->0.872ms, fwd+bwd 2.745->2.668ms,
+    end-to-end neutral-to-plus (139.9k vs 139.7k tok/s). The bias is an
+    O(1)-magnitude learned bucket embedding, so bf16 storage costs ~3
+    decimal digits on the score ADD only (weights themselves stay fp32 in
+    params; fp32 models keep an fp32 table). FLASHT5_RPE_TABLE_BF16=0
+    reverts to fp32 storage. (A round-2 bf16 attempt measured slower, but
+    that variant also switched the dW path — the regression was misblamed.)
+    """
+    if _os.environ.get("FLASHT5_RPE_TABLE_BF16", "1") == "0":
+        return jnp.float32
+    return q_dtype
 
 _HEAD_LANES = 128  # lane width of the in-kernel weight / dweight tiles
 
@@ -1465,9 +1471,11 @@ def flash_attention_rpe(
                                block_m=block_m, block_n=block_n)
     round16 = lambda x: ((x + 15) // 16) * 16
     if block_m == DEFAULT_BLOCK_M:
-        # forward q-tile A/B knob (trace-time): bigger tiles amortize
-        # per-program overhead in the batch-innermost resident grids
-        block_m = int(_os.environ.get("FLASHT5_RPE_FWD_BM", block_m))
+        # forward q-tile (trace-time env knob). Default 512 since round 3:
+        # halves the (h, i) grid's program count and K/V re-reads; chained
+        # A/B at (B16,H12,S1024,D64) measured fwd 0.981->0.872ms with the
+        # bf16 table, end-to-end neutral. 1024 crashes the remote compiler.
+        block_m = int(_os.environ.get("FLASHT5_RPE_FWD_BM", "512"))
     block_m = min(block_m, round16(q.shape[2]))
     block_n = min(block_n, round16(k.shape[2]))
     return _far(q, k, v, rpe_weights, causal, sm_scale, bidirectional,

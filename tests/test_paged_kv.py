@@ -8,6 +8,8 @@ import pytest
 from flasht5_tpu.inference.paged_kv import (
     PagedKVPool,
     paged_decode_attention,
+    paged_decode_attention_arrays,
+    paged_decode_attention_ragged,
     paged_decode_attention_ref,
 )
 
@@ -58,6 +60,74 @@ def test_paged_attention_matches_oracle(quantized, with_bias):
     ref = paged_decode_attention_ref(q, pool, sm_scale=0.2, bias=bias)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-3,
                                rtol=1e-2)
+
+
+@pytest.mark.parametrize("quantized", [False, True])
+@pytest.mark.parametrize("with_bias", [False, True])
+def test_ragged_worklist_matches_oracle(quantized, with_bias):
+    """Work-list (grid over ACTIVE pages) form == oracle, on ragged
+    mixed-length slots including an empty one."""
+    pool, lengths = _fill_pool(quantized=quantized)
+    h, d, P, maxp = 4, 32, 16, 4
+    q = jax.random.normal(jax.random.PRNGKey(1), (4, h, d), jnp.float32)
+    bias = (jax.random.normal(jax.random.PRNGKey(2), (4, h, maxp * P),
+                              jnp.float32) * 0.3 if with_bias else None)
+    out = paged_decode_attention_ragged(
+        q, pool.pages_k, pool.pages_v, pool.scales_k, pool.scales_v,
+        pool.page_table, pool.lengths, sm_scale=0.2, bias=bias)
+    ref = paged_decode_attention_ref(q, pool, sm_scale=0.2, bias=bias)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-3,
+                               rtol=1e-2)
+
+
+def test_ragged_worklist_empty_and_released_slots():
+    """Slots with length 0 (never admitted or released) must not corrupt
+    neighbours; their own output is defined as zero."""
+    pool, lengths = _fill_pool()
+    h, d = 4, 32
+    pool.release(2)
+    q = jax.random.normal(jax.random.PRNGKey(3), (4, h, d), jnp.float32)
+    out = paged_decode_attention_ragged(
+        q, pool.pages_k, pool.pages_v, None, None,
+        pool.page_table, pool.lengths, sm_scale=0.2)
+    ref = paged_decode_attention_ref(q, pool, sm_scale=0.2)
+    for slot in (0, 1, 3):
+        np.testing.assert_allclose(np.asarray(out[slot]),
+                                   np.asarray(ref[slot]),
+                                   atol=3e-3, rtol=1e-2)
+    np.testing.assert_array_equal(np.asarray(out[2]), 0.0)
+
+
+def test_ragged_worklist_under_jit_and_fragmentation():
+    """jit-compatibility + a fragmented page table (pages allocated out of
+    order across slots) — the work list must follow page_table, not pool
+    order; also parity with the dense-grid kernel."""
+    h, d, P, maxp, slots = 4, 32, 16, 6, 3
+    rng = np.random.default_rng(11)
+    pool = PagedKVPool(num_pages=24, num_heads=h, page_size=P, head_dim=d,
+                       max_slots=slots, max_pages_per_slot=maxp)
+    # interleave allocations so page ids are shuffled across slots
+    lengths = [70, 33, 90]
+    for tok in range(max(lengths)):
+        for slot, L in enumerate(lengths):
+            if tok < L:
+                pool.ensure_capacity(slot, tok + 1)
+                pool.append(jnp.asarray([slot]),
+                            jnp.asarray(rng.normal(size=(1, h, d)), jnp.float32),
+                            jnp.asarray(rng.normal(size=(1, h, d)), jnp.float32))
+    q = jax.random.normal(jax.random.PRNGKey(5), (slots, h, d), jnp.float32)
+
+    ragged = jax.jit(lambda *a: paged_decode_attention_ragged(
+        *a, sm_scale=0.2))(q, pool.pages_k, pool.pages_v, None, None,
+                           pool.page_table, pool.lengths)
+    dense_grid = paged_decode_attention_arrays(
+        q, pool.pages_k, pool.pages_v, None, None,
+        pool.page_table, pool.lengths, sm_scale=0.2)
+    ref = paged_decode_attention_ref(q, pool, sm_scale=0.2)
+    np.testing.assert_allclose(np.asarray(ragged), np.asarray(ref),
+                               atol=3e-3, rtol=1e-2)
+    np.testing.assert_allclose(np.asarray(ragged), np.asarray(dense_grid),
+                               atol=3e-3, rtol=1e-2)
 
 
 def test_paged_matches_dense_decode():

@@ -55,9 +55,13 @@ def make_cls_batches(vocab, rng, n, batch, seq_len, eos_id):
     (np.random.default_rng(0), matching tools/smoke_pretrain_tpu.py);
     language B draws a fresh table.
     """
+    # both tables FIXED (not drawn from the continuing `rng`): language B
+    # must be the same language across the train and eval calls, or eval
+    # measures transfer to an unseen language instead of the learned task
     succ_a = np.random.default_rng(0).integers(13, vocab - 100,
                                                size=(vocab, 3))
-    succ_b = rng.integers(13, vocab - 100, size=(vocab, 3))
+    succ_b = np.random.default_rng(1).integers(13, vocab - 100,
+                                               size=(vocab, 3))
     out = []
     for _ in range(n):
         ids = np.zeros((batch, seq_len), np.int32)

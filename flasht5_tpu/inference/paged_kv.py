@@ -388,6 +388,329 @@ def paged_decode_attention_ragged(q, pages_k, pages_v, scales_k, scales_v,
     return jnp.where(lengths[:, None, None] > 0, out[:b], 0.0).astype(q.dtype)
 
 
+def pack_kv_pages(pages, scales=None):
+    """Repack a (num_pages, H, P, D) page pool into the lane-aligned layout
+    the chunked kernel DMAs from.
+
+    TPU VMEM/DMA tiling is 128 lanes wide; at d_kv=64, a (.., P, 64) page is
+    a half-lane slice that Mosaic cannot extract with an async copy (packed
+    int8 tiles doubly so — measured: 'Slice shape along dimension 3 must be
+    aligned to tiling (128), but is 64'). Packing TWO CONSECUTIVE TOKENS per
+    128-lane row makes every page DMA full-width:
+
+        pages2:  (num_pages, H, P//2, 2*D)   row r = [token 2r | token 2r+1]
+        scales2: (num_pages, 2, H * P//2)    plane 0/1 = even/odd tokens, in
+                                             the kernel's (H, P//2) row order
+
+    D=128 models pack 1 token/row (2*D capped at 128*ceil(D/128)); only even
+    P is supported (every real page size is).
+    """
+    n, h, P, d = pages.shape
+    if 2 * d <= 128 and P % 2 == 0:
+        pages2 = pages.reshape(n, h, P // 2, 2 * d)
+        if scales is not None:
+            s = scales.reshape(n, h, P // 2, 2)
+            scales2 = jnp.stack(
+                [s[..., 0].reshape(n, h * (P // 2)),
+                 s[..., 1].reshape(n, h * (P // 2))], axis=1)
+        else:
+            scales2 = None
+        return pages2, scales2
+    raise NotImplementedError(
+        f"pack_kv_pages supports 2*D<=128 and even P, got D={d} P={P}")
+
+
+def pack_kv_pages_fused(pages_k, pages_v, scales_k=None, scales_v=None):
+    """Fuse K and V (and their scales) into single per-page records so each
+    page costs TWO DMAs (one int8/bf16 record, one fp32 scale record)
+    instead of four — per-page DMA start/wait pairs were the measured
+    bottleneck of the chunked kernel after compute fattening
+    (docs/paged_roofline_chunked.json).
+
+        pages_kv:  (num_pages, 2, H, P//2, 2*D)   [0]=K rows, [1]=V rows
+        scales_kv: (num_pages, 2, 2, H * P//2)    [kv, parity, (H,P//2) row]
+    """
+    pk2, sk2 = pack_kv_pages(pages_k, scales_k)
+    pv2, sv2 = pack_kv_pages(pages_v, scales_v)
+    pages_kv = jnp.stack([pk2, pv2], axis=1)
+    scales_kv = (None if sk2 is None
+                 else jnp.stack([sk2, sv2], axis=1))
+    return pages_kv, scales_kv
+
+
+def _chunked_kernel(ws_ref, first_ref, last_ref, orow_ref, active_ref,
+                    base_ref, pids_ref, len_ref,
+                    q_ref, bias_ref, kv_hbm, skv_hbm,
+                    o_ref,
+                    m_scr, l_scr, acc_scr, kvbuf, skvbuf,
+                    kvsem, skvsem, *,
+                    sm_scale, page_size, head_dim, chunk, quantized,
+                    has_bias):
+    """Chunked work-list paged decode over the PACKED page layout.
+
+    One grid cell = up to `chunk` consecutive in-slot pages, manually DMA'd
+    from HBM with cross-item double buffering: item g waits on the page
+    copies started at item g-1 (buffer g%2), starts item g+1's pages into
+    buffer (g+1)%2 (page ids come from the scalar-prefetched work list), and
+    computes over the whole buffer at once — the single-page work-list
+    kernel is PROGRAM-bound (31 GB/s at page 16 / 78 GB/s at page 128,
+    docs/paged_roofline.json), so items must be fat and DMAs must overlap
+    compute across items.
+
+    Packed rows hold two tokens (pack_kv_pages), so scores come from TWO
+    zero-padded q matmuls that cannot mix tokens: qE = [q | 0] hits the even
+    halves, qO = [0 | q] the odd halves; per-token int8 scales FOLD INTO the
+    scores (k) and probabilities (v) as row-wise multiplies instead of
+    dequantizing K/V element-wise; PV uses the same pairing in reverse
+    (pvE[:, :D] + pvO[:, D:]). The online-softmax accumulators carry across
+    a slot's items on the sequential grid exactly as in _ragged_kernel."""
+    g = pl.program_id(0)
+    n_items = pl.num_programs(0)
+    nh = q_ref.shape[1]
+    d = head_dim
+    p2 = page_size // 2
+    hp2 = nh * p2
+    rows = chunk * hp2
+
+    def start_dmas(buf, item):
+        for ci in range(chunk):
+            pid = pids_ref[item * chunk + ci]
+            pltpu.make_async_copy(kv_hbm.at[pid], kvbuf.at[buf, ci],
+                                  kvsem.at[buf, ci]).start()
+            if quantized:
+                pltpu.make_async_copy(skv_hbm.at[pid], skvbuf.at[buf, ci],
+                                      skvsem.at[buf, ci]).start()
+
+    def wait_dmas(buf):
+        for ci in range(chunk):
+            pltpu.make_async_copy(kv_hbm.at[0], kvbuf.at[buf, ci],
+                                  kvsem.at[buf, ci]).wait()
+            if quantized:
+                pltpu.make_async_copy(skv_hbm.at[0], skvbuf.at[buf, ci],
+                                      skvsem.at[buf, ci]).wait()
+
+    # the work list is sorted (active items form a prefix of the grid), so
+    # gating every start/wait on the TARGET item's active flag keeps
+    # start/wait pairs matched while padding items cost nothing — without
+    # this, pad items re-DMA page 0 and dominate at low occupancy (the
+    # first on-chip run spent ~2/3 of its time on them)
+    @pl.when((g == 0) & (active_ref[0] == 1))
+    def _warm():
+        start_dmas(0, 0)
+
+    @pl.when((g + 1 < n_items) & (active_ref[jnp.minimum(g + 1, n_items - 1)] == 1))
+    def _prefetch_next():
+        start_dmas((g + 1) % 2, g + 1)
+
+    buf = g % 2
+
+    @pl.when(first_ref[g] == 1)
+    def _init():
+        m_scr[...] = jnp.full_like(m_scr, _NEG_INF)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    slot = ws_ref[g]
+    length = len_ref[slot]
+    base = base_ref[g] * chunk        # first in-slot page of this item
+
+    @pl.when(active_ref[g] == 1)
+    def _compute():
+        wait_dmas(buf)
+        kv = kvbuf[buf]                                    # (chunk,2,h,p2,2d)
+        cdt = jnp.float32 if (quantized or q_ref.dtype == jnp.float32
+                              and kvbuf.dtype != jnp.bfloat16) else jnp.bfloat16
+        kflat = kv[:, 0].astype(cdt).reshape(rows, 2 * d)
+        vflat = kv[:, 1].astype(cdt).reshape(rows, 2 * d)
+        q = q_ref[0].astype(cdt)                          # (H, D)
+        zeros = jnp.zeros_like(q)
+        # ONE double-height matmul covers both parities: rows [0:H] carry
+        # [q | 0] (hit even-token halves), rows [H:2H] carry [0 | q]
+        q_both = jnp.concatenate(
+            [jnp.concatenate([q, zeros], axis=1),
+             jnp.concatenate([zeros, q], axis=1)], axis=0)  # (2H, 2D)
+        s_both = jax.lax.dot_general(
+            q_both, kflat, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)            # (2H, rows)
+        def per_parity_rows(x):
+            # (chunk, 2, hp2) [ci, parity, row] -> (2H, rows): rows [0:H]
+            # carry the even-token values, [H:2H] the odd-token values
+            two = jnp.stack([x[:, 0, :].reshape(rows),
+                             x[:, 1, :].reshape(rows)])    # (2, rows)
+            return jnp.repeat(two, nh, axis=0)             # (2H, rows)
+
+        if quantized:
+            # per-token K scales fold into the scores: s = (q . k_int8) * sk
+            skv = skvbuf[buf]                              # (chunk,2,2,hp2)
+            s_both = s_both * per_parity_rows(skv[:, 0])
+        if sm_scale != 1.0:
+            s_both = s_both * sm_scale
+        if has_bias:
+            bias = bias_ref[0, 0, 0]                       # (chunk, 2, hp2)
+            s_both = s_both + per_parity_rows(bias).astype(jnp.float32)
+
+        col = jax.lax.broadcasted_iota(jnp.int32, (2 * nh, rows), 1)
+        ci = col // hp2
+        within_hp = col - ci * hp2
+        chead = within_hp // p2
+        within = within_hp - chead * p2
+        row_id = jax.lax.broadcasted_iota(jnp.int32, (2 * nh, rows), 0)
+        parity = row_id // nh                              # 0=even, 1=odd
+        pos = (base + ci) * page_size + 2 * within + parity
+        own = (chead == row_id - parity * nh) & (pos < length)
+        s_both = jnp.where(own, s_both, _NEG_INF)
+
+        m_prev = m_scr[...]                                # (H, 1)
+        m_new = jnp.maximum(
+            m_prev, jnp.maximum(
+                jnp.max(s_both[:nh], axis=1, keepdims=True),
+                jnp.max(s_both[nh:], axis=1, keepdims=True)))
+        m2 = jnp.concatenate([m_new, m_new], axis=0)       # (2H, 1)
+        alpha = jnp.exp(m_prev - m_new)
+        p_both = jnp.where(own, jnp.exp(s_both - m2), 0.0)
+        l_scr[...] = (l_scr[...] * alpha
+                      + jnp.sum(p_both[:nh], axis=1, keepdims=True)
+                      + jnp.sum(p_both[nh:], axis=1, keepdims=True))
+        m_scr[...] = m_new
+        if quantized:
+            # per-token V scales fold into the probabilities
+            p_both = p_both * per_parity_rows(skvbuf[buf][:, 1])
+        pv_both = jax.lax.dot_general(
+            p_both.astype(cdt), vflat, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)            # (2H, 2D)
+        acc_scr[...] = (acc_scr[...] * alpha
+                        + pv_both[:nh, :d] + pv_both[nh:, d:])
+
+    @pl.when(last_ref[g] == 1)
+    def _finalize():
+        l = l_scr[...]
+        l_safe = jnp.where(l > 0.0, l, 1.0)
+        o_ref[0] = (acc_scr[...] / l_safe).astype(o_ref.dtype)
+
+
+def paged_decode_attention_chunked_packed(q, pages_kv, scales_kv,
+                                          page_table, lengths, *,
+                                          sm_scale: float = 1.0,
+                                          bias: Optional[jnp.ndarray] = None,
+                                          chunk: int = 8):
+    """Chunked work-list paged decode over FUSED PACKED pools
+    (pack_kv_pages_fused layout — production keeps the pool packed; appends
+    write token t to row t//2, half t%2). `chunk` = pages per work item."""
+    b, h, d = q.shape
+    n_pages, _, _, p2, d2 = pages_kv.shape
+    P = p2 * 2
+    maxp = page_table.shape[1]
+    quantized = scales_kv is not None
+    has_bias = bias is not None
+    chunk = max(1, min(chunk, maxp))
+    n_items = (n_pages + chunk - 1) // chunk + b
+
+    npages = (lengths + P - 1) // P                        # (b,)
+    nitems = (npages + chunk - 1) // chunk
+    ends = jnp.cumsum(nitems)
+    starts = ends - nitems
+    total = ends[-1]
+    g_ids = jnp.arange(n_items, dtype=jnp.int32)
+    active = g_ids < total
+    ws = jnp.searchsorted(ends, g_ids, side="right").astype(jnp.int32)
+    ws = jnp.minimum(ws, b - 1)
+    item_in_slot = jnp.clip(g_ids - starts[ws], 0, maxp - 1)
+    first = (active & (item_in_slot == 0)).astype(jnp.int32)
+    last = (active & (item_in_slot == nitems[ws] - 1)).astype(jnp.int32)
+    o_row = jnp.where(last == 1, ws, b).astype(jnp.int32)
+    ci = jnp.arange(chunk, dtype=jnp.int32)
+    in_slot = item_in_slot[:, None] * chunk + ci[None, :]  # (n_items, chunk)
+    pids = page_table[ws[:, None], jnp.clip(in_slot, 0, maxp - 1)]
+    pids = jnp.where(active[:, None] & (in_slot < npages[ws][:, None]),
+                     pids, 0).astype(jnp.int32).reshape(-1)
+
+    dummy_s = jnp.zeros((1, 2, 2, h * p2), jnp.float32)
+    if has_bias:
+        # (B, n_chunks, 1, chunk, 2, H*P2): per-item even/odd planes in the
+        # kernel's (H, P2) row order
+        pad_p = (-maxp) % chunk
+        br = bias.reshape(b, h, maxp, p2, 2)
+        br = br.transpose(0, 2, 4, 1, 3).reshape(b, maxp, 2, h * p2)
+        if pad_p:
+            br = jnp.pad(br, ((0, 0), (0, pad_p), (0, 0), (0, 0)))
+        bias_in = br.reshape(b, (maxp + pad_p) // chunk, 1, chunk, 2, h * p2)
+    else:
+        bias_in = jnp.zeros((1, 1, 1, 1, 1, 1), jnp.float32)
+
+    # prefetch order: ws, first, last, o_row, active, base_chunkidx, pids, len
+    def slot_map(gg, ws_r, f_r, l_r, orow_r, act_r, bidx_r, pids_r, ln_r):
+        return (ws_r[gg], 0, 0)
+
+    def bias_map(gg, ws_r, f_r, l_r, orow_r, act_r, bidx_r, pids_r, ln_r):
+        return (ws_r[gg], bidx_r[gg], 0, 0, 0, 0)
+
+    def const6_map(gg, ws_r, f_r, l_r, orow_r, act_r, bidx_r, pids_r, ln_r):
+        return (0, 0, 0, 0, 0, 0)
+
+    def out_map(gg, ws_r, f_r, l_r, orow_r, act_r, bidx_r, pids_r, ln_r):
+        return (orow_r[gg], 0, 0)
+
+    store = pages_kv.dtype
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=8,
+        grid=(n_items,),
+        in_specs=[
+            pl.BlockSpec((1, h, d), slot_map, memory_space=pltpu.VMEM),
+            (pl.BlockSpec((1, 1, 1, chunk, 2, h * p2), bias_map,
+                          memory_space=pltpu.VMEM)
+             if has_bias else
+             pl.BlockSpec((1, 1, 1, 1, 1, 1), const6_map,
+                          memory_space=pltpu.VMEM)),
+            # manual-DMA pools stay in HBM; the DMA engine does the
+            # (now lane-aligned) page extraction
+            pl.BlockSpec(memory_space=pltpu.HBM),   # fused KV page records
+            pl.BlockSpec(memory_space=pltpu.HBM),   # fused scale records
+        ],
+        out_specs=pl.BlockSpec((1, h, d), out_map, memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((h, 1), jnp.float32),
+            pltpu.VMEM((h, 1), jnp.float32),
+            pltpu.VMEM((h, d), jnp.float32),
+            pltpu.VMEM((2, chunk, 2, h, p2, d2), store),
+            pltpu.VMEM((2, chunk, 2, 2, h * p2), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, chunk)),
+            pltpu.SemaphoreType.DMA((2, chunk)),
+        ],
+    )
+    kern = functools.partial(_chunked_kernel, sm_scale=sm_scale,
+                             page_size=P, head_dim=d, chunk=chunk,
+                             quantized=quantized, has_bias=has_bias)
+    from flasht5_tpu.ops.flash_attention import _compiler_params
+    out = pl.pallas_call(
+        kern, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b + 1, h, d), q.dtype),
+        compiler_params=_compiler_params(("arbitrary",)),
+        interpret=interpret_mode(),
+    )(ws, first, last, o_row, active.astype(jnp.int32),
+      item_in_slot.astype(jnp.int32), pids, lengths.astype(jnp.int32),
+      q, bias_in, pages_kv,
+      scales_kv if quantized else dummy_s)
+    return jnp.where(lengths[:, None, None] > 0,
+                     out[:b], 0.0).astype(q.dtype)
+
+
+def paged_decode_attention_chunked(q, pages_k, pages_v, scales_k, scales_v,
+                                   page_table, lengths, *,
+                                   sm_scale: float = 1.0,
+                                   bias: Optional[jnp.ndarray] = None,
+                                   chunk: int = 8):
+    """Standard-layout convenience wrapper: fuses + packs the pool
+    (pack_kv_pages_fused) then runs the chunked packed kernel. Production
+    callers keep the pool packed and call
+    paged_decode_attention_chunked_packed directly — the per-call repack
+    here reads the whole pool and is for tests/oracles."""
+    pages_kv, scales_kv = pack_kv_pages_fused(pages_k, pages_v,
+                                              scales_k, scales_v)
+    return paged_decode_attention_chunked_packed(
+        q, pages_kv, scales_kv, page_table, lengths,
+        sm_scale=sm_scale, bias=bias, chunk=chunk)
+
+
 def paged_decode_attention(q, pool: PagedKVPool, *, sm_scale: float = 1.0,
                            bias: Optional[jnp.ndarray] = None):
     """Ragged paged decode attention over a PagedKVPool (host object API)."""

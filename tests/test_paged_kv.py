@@ -9,6 +9,7 @@ from flasht5_tpu.inference.paged_kv import (
     PagedKVPool,
     paged_decode_attention,
     paged_decode_attention_arrays,
+    paged_decode_attention_chunked,
     paged_decode_attention_ragged,
     paged_decode_attention_ref,
 )
@@ -128,6 +129,52 @@ def test_ragged_worklist_under_jit_and_fragmentation():
                                atol=3e-3, rtol=1e-2)
     np.testing.assert_allclose(np.asarray(ragged), np.asarray(dense_grid),
                                atol=3e-3, rtol=1e-2)
+
+
+@pytest.mark.parametrize("quantized", [False, True])
+@pytest.mark.parametrize("with_bias", [False, True])
+@pytest.mark.parametrize("chunk", [1, 2, 3])
+def test_chunked_worklist_matches_oracle(quantized, with_bias, chunk):
+    """Chunked work-list (manual double-buffered DMA) form == oracle for
+    chunk sizes that divide, exceed, and straddle per-slot page counts."""
+    pool, lengths = _fill_pool(quantized=quantized)
+    h, d, P, maxp = 4, 32, 16, 4
+    q = jax.random.normal(jax.random.PRNGKey(1), (4, h, d), jnp.float32)
+    bias = (jax.random.normal(jax.random.PRNGKey(2), (4, h, maxp * P),
+                              jnp.float32) * 0.3 if with_bias else None)
+    out = paged_decode_attention_chunked(
+        q, pool.pages_k, pool.pages_v, pool.scales_k, pool.scales_v,
+        pool.page_table, pool.lengths, sm_scale=0.2, bias=bias, chunk=chunk)
+    ref = paged_decode_attention_ref(q, pool, sm_scale=0.2, bias=bias)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-3,
+                               rtol=1e-2)
+
+
+def test_chunked_worklist_fragmented_jit_and_empty():
+    """Chunked form under jit on a fragmented pool with a released slot."""
+    h, d, P, maxp, slots = 4, 32, 16, 6, 3
+    rng = np.random.default_rng(13)
+    pool = PagedKVPool(num_pages=24, num_heads=h, page_size=P, head_dim=d,
+                       max_slots=slots, max_pages_per_slot=maxp)
+    lengths = [70, 33, 90]
+    for tok in range(max(lengths)):
+        for slot, L in enumerate(lengths):
+            if tok < L:
+                pool.ensure_capacity(slot, tok + 1)
+                pool.append(jnp.asarray([slot]),
+                            jnp.asarray(rng.normal(size=(1, h, d)), jnp.float32),
+                            jnp.asarray(rng.normal(size=(1, h, d)), jnp.float32))
+    pool.release(1)
+    q = jax.random.normal(jax.random.PRNGKey(7), (slots, h, d), jnp.float32)
+    out = jax.jit(lambda *a: paged_decode_attention_chunked(
+        *a, sm_scale=0.2, chunk=2))(q, pool.pages_k, pool.pages_v, None,
+                                    None, pool.page_table, pool.lengths)
+    ref = paged_decode_attention_ref(q, pool, sm_scale=0.2)
+    for slot in (0, 2):
+        np.testing.assert_allclose(np.asarray(out[slot]),
+                                   np.asarray(ref[slot]),
+                                   atol=3e-3, rtol=1e-2)
+    np.testing.assert_array_equal(np.asarray(out[1]), 0.0)
 
 
 def test_paged_matches_dense_decode():

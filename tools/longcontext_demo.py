@@ -21,7 +21,11 @@ Usage: python tools/longcontext_demo.py [--out docs/longcontext.json]
 
 import argparse
 import json
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -93,24 +97,30 @@ def main():
             grad_fn, params, ids = build_case(path, seq_len)
             row = {"path": path, "seq_len": seq_len}
             if path == "pallas_rpe":
-                bm = bn = 256
+                # the kernel's actual dispatch geometry (round-3 defaults:
+                # fwd q-tile 512, k-tile 1024) decides table vs chain
+                import os as _o
+                bm = int(_o.environ.get("FLASHT5_RPE_FWD_BM", "512"))
+                bn = 1024
                 tb = rpe_mod._table_bytes(seq_len, seq_len,
-                                          8, bm, bn)
+                                          8, min(bm, seq_len),
+                                          min(bn, seq_len))
                 row["rpe_table_bytes"] = tb
                 row["rpe_mode"] = ("offset_table"
                                    if tb <= rpe_mod._TABLE_BUDGET_BYTES
                                    else "in_kernel_chain")
-            row.update(mem_report(grad_fn, params, ids))
             try:
+                row.update(mem_report(grad_fn, params, ids))
                 row["fwd_bwd_ms"] = round(timed(grad_fn, params, ids) * 1e3, 1)
-            except Exception as e:  # OOM at large S for the bias path
-                row["error"] = f"{type(e).__name__}: {e}"[:200]
+            except Exception as e:
+                # compile-time HBM overflow for the materialized-bias path at
+                # large S is the expected O(S^2) failure — record it
+                row["error"] = f"{type(e).__name__}: {e}"[:300]
             rows.append(row)
             print(json.dumps(row), flush=True)
-
-    with open(args.out, "w") as f:
-        json.dump(rows, f, indent=2)
-        f.write("\n")
+            with open(args.out, "w") as f:  # incremental: survive later OOMs
+                json.dump(rows, f, indent=2)
+                f.write("\n")
 
 
 if __name__ == "__main__":

@@ -82,8 +82,11 @@ def main():
 
     from flasht5_tpu.runtime import enable_compilation_cache
     enable_compilation_cache()
+    import functools
+
     from flasht5_tpu.inference.paged_kv import (
-        paged_decode_attention_arrays, paged_decode_attention_ragged)
+        pack_kv_pages_fused, paged_decode_attention_arrays,
+        paged_decode_attention_chunked_packed, paged_decode_attention_ragged)
     from speed_of_light_tpu import chained_seconds
 
     rows = []
@@ -95,12 +98,29 @@ def main():
             # bytes the kernel must read: live K+V int8 pages + fp32 scales
             live_tokens = live * SEQ
             must_bytes = 2 * live_tokens * H * (D * 1 + 4)
-            for name, fn in (("ragged", paged_decode_attention_ragged),
-                             ("dense_grid", paged_decode_attention_arrays)):
-                def step(qq):
-                    return fn(qq, pool.pages_k, pool.pages_v, pool.scales_k,
-                              pool.scales_v, pool.page_table, pool.lengths,
-                              sm_scale=0.125).astype(jnp.float32)
+            pkv, skv = pack_kv_pages_fused(pool.pages_k, pool.pages_v,
+                                           pool.scales_k, pool.scales_v)
+            kernels = [("ragged", paged_decode_attention_ragged, False),
+                       ("dense_grid", paged_decode_attention_arrays, False)]
+            for c in (4, 8, 16):
+                if c * P <= SEQ:
+                    kernels.append(
+                        (f"chunked_c{c}",
+                         functools.partial(
+                             paged_decode_attention_chunked_packed, chunk=c),
+                         True))
+            for name, fn, packed in kernels:
+                if packed:
+                    def step(qq, fn=fn):
+                        return fn(qq, pkv, skv, pool.page_table,
+                                  pool.lengths,
+                                  sm_scale=0.125).astype(jnp.float32)
+                else:
+                    def step(qq, fn=fn):
+                        return fn(qq, pool.pages_k, pool.pages_v,
+                                  pool.scales_k, pool.scales_v,
+                                  pool.page_table, pool.lengths,
+                                  sm_scale=0.125).astype(jnp.float32)
 
                 try:
                     sec = chained_seconds(step, q0)

@@ -176,7 +176,14 @@ def main():
                  "64 (< the 128-deep MXU) and the PV matmul emits 64 lanes\n"
                  "(< the 128-wide MXU), so the achievable ceiling for the\n"
                  "attention kernels is ~0.5 of nominal before any softmax\n"
-                 "VPU cost. Read attention `sol` against that ~0.5 bound.\n\n")
+                 "VPU cost. Read attention `sol` against that ~0.5 bound.\n"
+                 "Round-3 component ablation (tools/attn_ablate.py fwd-*)\n"
+                 "pins the residual forward gap: bias-table add ~29%,\n"
+                 "softmax max/exp/sum ~28%, QK/PV at the half-MXU floor;\n"
+                 "the backward sits at 78% of its 5-matmul floor (dW skew\n"
+                 "0.12ms at B16,H12,S1024). Practical fwd+bwd ceiling is\n"
+                 "therefore ~0.39-0.41 of nominal; defaults (bf16 table,\n"
+                 "fwd q-tile 512) were chosen by chained A/B against it.\n\n")
         fh.write("| kernel | ms/call | TFLOPS | GB/s | bound | sol |\n")
         fh.write("|---|---|---|---|---|---|\n")
         for tag, d in ROWS:

@@ -27,6 +27,7 @@ from flasht5_tpu.inference import kv_cache
 from flasht5_tpu.inference.engine import KVTensor, Request, _kv_make, _kv_read
 from flasht5_tpu.inference.paged_kv import (
     paged_decode_attention_arrays,
+    paged_decode_attention_chunked_packed,
     paged_decode_attention_ragged,
 )
 from flasht5_tpu.models import t5
@@ -44,10 +45,14 @@ class PagedEngineConfig:
     encode_buckets: Tuple[int, ...] = (64, 128, 256, 512)
     kv_dtype: str = "native"          # pages + cross cache: "native" | "int8"
     steps_per_sync: int = 8
-    # work-list kernel: grid over ACTIVE pages (time ~ tokens in flight)
-    # instead of slots x max_pages_per_slot — the default; set False to use
-    # the dense (slot, page) grid for A/B
-    use_ragged_kernel: bool = True
+    # decode kernel over the page pool:
+    #   "chunked" (default) — chunked work-list over FUSED token-pair-packed
+    #       page records, 0.85 of the HBM roofline on-chip
+    #       (docs/paged_roofline_chunked.json); pool stored packed
+    #   "ragged"  — single-page work-list (grid over active pages)
+    #   "dense"   — (slot, page) grid, flat in occupancy
+    kernel: str = "chunked"
+    pages_per_item: int = 8           # chunked kernel: pages per work item
 
 
 class PagedState:
@@ -64,16 +69,33 @@ class PagedState:
                                 jnp.float32) if quant else None)
             return KVTensor(vals, scales)
 
+        def packed_kv_records():
+            # fused token-pair-packed page records for the chunked kernel
+            # (paged_kv.pack_kv_pages_fused layout): [page, kv, h, P//2, 2D]
+            vals = jnp.zeros(
+                (ecfg.num_pages, 2, h, ecfg.page_size // 2, 2 * dkv), dt)
+            scales = (jnp.zeros(
+                (ecfg.num_pages, 2, 2, h * (ecfg.page_size // 2)),
+                jnp.float32) if quant else None)
+            return KVTensor(vals, scales)
+
         def cross():
             vals = jnp.zeros((b, h, ecfg.max_encode_len, dkv), dt)
             scales = (jnp.zeros((b, h, ecfg.max_encode_len, 1), jnp.float32)
                       if quant else None)
             return KVTensor(vals, scales)
 
-        self.layers = tuple(
-            {"pages_k": page_arrays(), "pages_v": page_arrays(),
-             "cross_k": cross(), "cross_v": cross()}
-            for _ in range(n_layers))
+        if ecfg.kernel == "chunked":
+            assert ecfg.page_size % 2 == 0, "chunked kernel needs even pages"
+            self.layers = tuple(
+                {"pages_kv": packed_kv_records(),
+                 "cross_k": cross(), "cross_v": cross()}
+                for _ in range(n_layers))
+        else:
+            self.layers = tuple(
+                {"pages_k": page_arrays(), "pages_v": page_arrays(),
+                 "cross_k": cross(), "cross_v": cross()}
+                for _ in range(n_layers))
         self.page_table = jnp.zeros((b, ecfg.max_pages_per_slot), jnp.int32)
         self.enc_len = jnp.zeros((b,), jnp.int32)
         self.pos = jnp.zeros((b,), jnp.int32)
@@ -227,18 +249,52 @@ class PagedInferenceEngine:
                         new.astype(kv.values.dtype))
                     return KVTensor(vals, None)
 
-                pages_k = append(layer["pages_k"], k_new)
-                pages_v = append(layer["pages_v"], v_new)
+                def append_packed(kv: KVTensor, plane, new):
+                    # token t lives in packed row t//2, lane half t%2
+                    row = offset // 2
+                    half = offset % 2                       # (B,)
+                    if quant:
+                        new, ns = quantize_kv(new)          # (B,H,D),(B,H,1)
+                    # RMW the (B, H, 2D) packed rows: tile the new vector to
+                    # both halves, keep the slot's own half only
+                    old = kv.values[pids, plane, :, row]    # (B, H, 2D)
+                    lane = jnp.arange(2 * dkv) // dkv       # (2D,)
+                    sel = lane[None, None, :] == half[:, None, None]
+                    tiled = jnp.concatenate([new, new], axis=-1)
+                    vals = kv.values.at[pids, plane, :, row].set(
+                        jnp.where(sel, tiled.astype(kv.values.dtype), old))
+                    scales = kv.scales
+                    if quant:
+                        cols = (jnp.arange(h)[None, :] * (P // 2)
+                                + row[:, None])             # (B, H)
+                        scales = scales.at[pids[:, None], plane,
+                                           half[:, None], cols].set(ns[:, :, 0])
+                    return KVTensor(vals, scales)
 
-                paged_attn = (paged_decode_attention_ragged
-                              if ecfg.use_ragged_kernel
-                              else paged_decode_attention_arrays)
-                attn = paged_attn(
-                    q.astype(jnp.float32), pages_k.values, pages_v.values,
-                    pages_k.scales, pages_v.scales, page_table, pos + 1,
-                    sm_scale=config.softmax_scale,
-                    bias=(None if self_bias is None
-                          else self_bias.astype(jnp.float32)))
+                if ecfg.kernel == "chunked":
+                    pages_kv = append_packed(layer["pages_kv"], 0, k_new)
+                    pages_kv = append_packed(pages_kv, 1, v_new)
+                    attn = paged_decode_attention_chunked_packed(
+                        q.astype(jnp.float32), pages_kv.values,
+                        pages_kv.scales, page_table, pos + 1,
+                        sm_scale=config.softmax_scale,
+                        bias=(None if self_bias is None
+                              else self_bias.astype(jnp.float32)),
+                        chunk=ecfg.pages_per_item)
+                    new_page_state = {"pages_kv": pages_kv}
+                else:
+                    pages_k = append(layer["pages_k"], k_new)
+                    pages_v = append(layer["pages_v"], v_new)
+                    paged_attn = (paged_decode_attention_ragged
+                                  if ecfg.kernel == "ragged"
+                                  else paged_decode_attention_arrays)
+                    attn = paged_attn(
+                        q.astype(jnp.float32), pages_k.values, pages_v.values,
+                        pages_k.scales, pages_v.scales, page_table, pos + 1,
+                        sm_scale=config.softmax_scale,
+                        bias=(None if self_bias is None
+                              else self_bias.astype(jnp.float32)))
+                    new_page_state = {"pages_k": pages_k, "pages_v": pages_v}
                 attn = attn.astype(x.dtype).reshape(b, 1, h * dkv)
                 x = x + t5._matmul(attn, sa["o"])
 
@@ -257,8 +313,7 @@ class PagedInferenceEngine:
 
                 x = t5._ff(config, blk["ff_layer"], x, rng=None,
                            deterministic=True)
-                new_layers.append({**layer, "pages_k": pages_k,
-                                   "pages_v": pages_v})
+                new_layers.append({**layer, **new_page_state})
 
             x = t5._layer_norm(config,
                                params["decoder"]["final_layer_norm"]["weight"], x)

@@ -25,8 +25,9 @@ def mk_requests(n=6, max_new=6):
             for i in range(n)]
 
 
+@pytest.mark.parametrize("kernel", ["chunked", "ragged", "dense"])
 @pytest.mark.parametrize("kv", ["native", "int8"])
-def test_paged_matches_dense_engine(kv):
+def test_paged_matches_dense_engine(kv, kernel):
     config = tiny_config()
     params = t5.init_params(jax.random.PRNGKey(0), config)
 
@@ -35,9 +36,11 @@ def test_paged_matches_dense_engine(kv):
         encode_buckets=(16,), kv_dtype=kv)).run(mk_requests())
     paged = PagedInferenceEngine(config, params, PagedEngineConfig(
         max_slots=3, page_size=4, num_pages=16, max_pages_per_slot=2,
-        max_encode_len=16, encode_buckets=(16,), kv_dtype=kv)).run(mk_requests())
+        max_encode_len=16, encode_buckets=(16,), kv_dtype=kv,
+        kernel=kernel, pages_per_item=2)).run(mk_requests())
     for a, b in zip(dense, paged):
-        np.testing.assert_array_equal(a.result, b.result, err_msg=f"kv={kv}")
+        np.testing.assert_array_equal(a.result, b.result,
+                                      err_msg=f"kv={kv} kernel={kernel}")
 
 
 def test_paged_pool_reuse_across_requests():

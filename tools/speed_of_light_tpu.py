@@ -184,6 +184,14 @@ def main():
                  "0.12ms at B16,H12,S1024). Practical fwd+bwd ceiling is\n"
                  "therefore ~0.39-0.41 of nominal; defaults (bf16 table,\n"
                  "fwd q-tile 512) were chosen by chained A/B against it.\n\n")
+        fh.write("cross_entropy_fwd is VPU-bound, not tiling-bound: a\n"
+                 "round-3 on-chip sweep (tools/ce_tile_sweep.py) measured\n"
+                 "0.605-0.638ms flat across row/vocab tiles from (256,2048)\n"
+                 "to (2048,2048)/(256,8192), before AND after the label-\n"
+                 "gather hoist — the per-element bf16->f32 convert + online\n"
+                 "max + exp + add floor sits at ~0.52 of the HBM roofline.\n"
+                 "The remaining lever is fusing CE into the lm_head matmul\n"
+                 "epilogue (logits never round-trip HBM), not tile shapes.\n\n")
         fh.write("| kernel | ms/call | TFLOPS | GB/s | bound | sol |\n")
         fh.write("|---|---|---|---|---|---|\n")
         for tag, d in ROWS:

@@ -23,7 +23,8 @@ import numpy as np
 
 
 def hbm_footprint(params, engine):
-    """Bytes held in HBM: weights (+ scales) and the slot-pool KV caches."""
+    """Bytes held in HBM: weights (+ scales) and the engine's KV caches
+    (slot-pool or paged — both expose state.layers as a KVTensor pytree)."""
     import jax.tree_util as jtu
 
     def nbytes(tree):
@@ -31,10 +32,8 @@ def hbm_footprint(params, engine):
                    for x in jtu.tree_leaves(tree)
                    if hasattr(x, "dtype"))
 
-    weights = nbytes(params)
-    kv = nbytes([(c.self_k, c.self_v, c.cross_k, c.cross_v)
-                 for c in engine.state.layers])
-    return {"weights_bytes": int(weights), "kv_pool_bytes": int(kv)}
+    return {"weights_bytes": int(nbytes(params)),
+            "kv_pool_bytes": int(nbytes(engine.state.layers))}
 
 
 def main():
@@ -55,6 +54,11 @@ def main():
     ap.add_argument("--enc_len", type=int, default=None)
     ap.add_argument("--load", action="store_true",
                     help="staggered-arrival load test with per-request TTFT")
+    ap.add_argument("--engine", default="slot", choices=("slot", "paged"),
+                    help="slot-pool engine (default) or paged-KV engine "
+                         "(chunked packed kernel)")
+    ap.add_argument("--page_size", type=int, default=64)
+    ap.add_argument("--pages_per_item", type=int, default=8)
     ap.add_argument("--arrival_gap_ms", type=float, default=20.0)
     ap.add_argument("--json", dest="json_out", default=None)
     args = ap.parse_args()
@@ -110,12 +114,25 @@ def main():
     results = []
     for tag, mk_p, kv, kern in all_modes:
         p = mk_p()
-        engine = InferenceEngine(config, p,
-                                 EngineConfig(kv_dtype=kv,
-                                              use_decode_kernel=kern,
-                                              **ecfg_base))
+        if args.engine == "paged":
+            from flasht5_tpu.inference.paged_engine import (
+                PagedEngineConfig, PagedInferenceEngine)
+            maxp = -(-(max_new + 2) // args.page_size)
+            engine = PagedInferenceEngine(config, p, PagedEngineConfig(
+                max_slots=slots, page_size=args.page_size,
+                num_pages=slots * maxp, max_pages_per_slot=maxp,
+                max_encode_len=enc_len, encode_buckets=(enc_len,),
+                kv_dtype=kv, steps_per_sync=args.steps_per_sync,
+                pages_per_item=args.pages_per_item))
+            tag = f"{tag}_paged"
+        else:
+            engine = InferenceEngine(config, p,
+                                     EngineConfig(kv_dtype=kv,
+                                                  use_decode_kernel=kern,
+                                                  **ecfg_base))
         hbm = hbm_footprint(p, engine)
-        engine.warmup()                       # compile all prefill variants
+        if hasattr(engine, "warmup"):
+            engine.warmup()                   # compile all prefill variants
         warm = engine.run(mk_reqs()[:slots])  # and exercise the full loop
 
         if args.load:

@@ -70,12 +70,14 @@ class PagedState:
             return KVTensor(vals, scales)
 
         def packed_kv_records():
-            # fused token-pair-packed page records for the chunked kernel
-            # (paged_kv.pack_kv_pages_fused layout): [page, kv, h, P//2, 2D]
+            # fused token-packed page records for the chunked kernel
+            # (paged_kv.pack_kv_pages_fused layout): [page, kv, h, P//f, f*D]
+            from flasht5_tpu.inference.paged_kv import kv_packing_factor
+            f = kv_packing_factor(dkv, ecfg.page_size)
             vals = jnp.zeros(
-                (ecfg.num_pages, 2, h, ecfg.page_size // 2, 2 * dkv), dt)
+                (ecfg.num_pages, 2, h, ecfg.page_size // f, f * dkv), dt)
             scales = (jnp.zeros(
-                (ecfg.num_pages, 2, 2, h * (ecfg.page_size // 2)),
+                (ecfg.num_pages, 2, f, h * (ecfg.page_size // f)),
                 jnp.float32) if quant else None)
             return KVTensor(vals, scales)
 
@@ -86,7 +88,6 @@ class PagedState:
             return KVTensor(vals, scales)
 
         if ecfg.kernel == "chunked":
-            assert ecfg.page_size % 2 == 0, "chunked kernel needs even pages"
             self.layers = tuple(
                 {"pages_kv": packed_kv_records(),
                  "cross_k": cross(), "cross_v": cross()}
@@ -249,31 +250,35 @@ class PagedInferenceEngine:
                         new.astype(kv.values.dtype))
                     return KVTensor(vals, None)
 
-                def append_packed(kv: KVTensor, plane, new):
-                    # token t lives in packed row t//2, lane half t%2
-                    row = offset // 2
-                    half = offset % 2                       # (B,)
+                def append_packed(kv: KVTensor, plane, new, fpack):
+                    # token t lives in packed row t//f, lane block t%f
+                    row = offset // fpack
+                    half = offset % fpack                   # (B,)
                     if quant:
                         new, ns = quantize_kv(new)          # (B,H,D),(B,H,1)
-                    # RMW the (B, H, 2D) packed rows: tile the new vector to
-                    # both halves, keep the slot's own half only
-                    old = kv.values[pids, plane, :, row]    # (B, H, 2D)
-                    lane = jnp.arange(2 * dkv) // dkv       # (2D,)
+                    # RMW the (B, H, f*D) packed rows: tile the new vector
+                    # to every block, keep the slot's own lane block only
+                    old = kv.values[pids, plane, :, row]    # (B, H, f*D)
+                    lane = jnp.arange(fpack * dkv) // dkv   # (f*D,)
                     sel = lane[None, None, :] == half[:, None, None]
-                    tiled = jnp.concatenate([new, new], axis=-1)
+                    tiled = jnp.concatenate([new] * fpack, axis=-1)
                     vals = kv.values.at[pids, plane, :, row].set(
                         jnp.where(sel, tiled.astype(kv.values.dtype), old))
                     scales = kv.scales
                     if quant:
-                        cols = (jnp.arange(h)[None, :] * (P // 2)
+                        cols = (jnp.arange(h)[None, :] * (P // fpack)
                                 + row[:, None])             # (B, H)
                         scales = scales.at[pids[:, None], plane,
                                            half[:, None], cols].set(ns[:, :, 0])
                     return KVTensor(vals, scales)
 
                 if ecfg.kernel == "chunked":
-                    pages_kv = append_packed(layer["pages_kv"], 0, k_new)
-                    pages_kv = append_packed(pages_kv, 1, v_new)
+                    from flasht5_tpu.inference.paged_kv import (
+                        kv_packing_factor)
+                    fpack = kv_packing_factor(dkv, P)
+                    pages_kv = append_packed(layer["pages_kv"], 0, k_new,
+                                             fpack)
+                    pages_kv = append_packed(pages_kv, 1, v_new, fpack)
                     attn = paged_decode_attention_chunked_packed(
                         q.astype(jnp.float32), pages_kv.values,
                         pages_kv.scales, page_table, pos + 1,

@@ -388,36 +388,43 @@ def paged_decode_attention_ragged(q, pages_k, pages_v, scales_k, scales_v,
     return jnp.where(lengths[:, None, None] > 0, out[:b], 0.0).astype(q.dtype)
 
 
+def kv_packing_factor(head_dim: int, page_size: int) -> int:
+    """Tokens packed per 128-lane row: f = 128//D when D divides 128 and
+    f divides the page size; 1 otherwise (D>=128, or indivisible shapes)."""
+    if head_dim >= 128 or 128 % head_dim != 0:
+        return 1
+    f = 128 // head_dim
+    while f > 1 and page_size % f != 0:
+        f //= 2
+    return f
+
+
 def pack_kv_pages(pages, scales=None):
     """Repack a (num_pages, H, P, D) page pool into the lane-aligned layout
     the chunked kernel DMAs from.
 
-    TPU VMEM/DMA tiling is 128 lanes wide; at d_kv=64, a (.., P, 64) page is
-    a half-lane slice that Mosaic cannot extract with an async copy (packed
-    int8 tiles doubly so — measured: 'Slice shape along dimension 3 must be
-    aligned to tiling (128), but is 64'). Packing TWO CONSECUTIVE TOKENS per
-    128-lane row makes every page DMA full-width:
+    TPU VMEM/DMA tiling is 128 lanes wide; at d_kv<128, a (.., P, D) page is
+    a partial-lane slice that Mosaic cannot extract with an async copy
+    (packed int8 tiles doubly so — measured: 'Slice shape along dimension 3
+    must be aligned to tiling (128), but is 64'). Packing f = 128//D
+    CONSECUTIVE TOKENS per 128-lane row makes every page DMA full-width:
 
-        pages2:  (num_pages, H, P//2, 2*D)   row r = [token 2r | token 2r+1]
-        scales2: (num_pages, 2, H * P//2)    plane 0/1 = even/odd tokens, in
-                                             the kernel's (H, P//2) row order
+        pages2:  (num_pages, H, P//f, f*D)  row r = [token f*r | ... | f*r+f-1]
+        scales2: (num_pages, f, H * P//f)   plane j = parity-j tokens, in the
+                                            kernel's (H, P//f) row order
 
-    D=128 models pack 1 token/row (2*D capped at 128*ceil(D/128)); only even
-    P is supported (every real page size is).
+    f=1 (D>=128) degenerates to the unpacked layout.
     """
     n, h, P, d = pages.shape
-    if 2 * d <= 128 and P % 2 == 0:
-        pages2 = pages.reshape(n, h, P // 2, 2 * d)
-        if scales is not None:
-            s = scales.reshape(n, h, P // 2, 2)
-            scales2 = jnp.stack(
-                [s[..., 0].reshape(n, h * (P // 2)),
-                 s[..., 1].reshape(n, h * (P // 2))], axis=1)
-        else:
-            scales2 = None
-        return pages2, scales2
-    raise NotImplementedError(
-        f"pack_kv_pages supports 2*D<=128 and even P, got D={d} P={P}")
+    f = kv_packing_factor(d, P)
+    pages2 = pages.reshape(n, h, P // f, f * d)
+    if scales is not None:
+        s = scales.reshape(n, h, P // f, f)
+        scales2 = jnp.stack(
+            [s[..., j].reshape(n, h * (P // f)) for j in range(f)], axis=1)
+    else:
+        scales2 = None
+    return pages2, scales2
 
 
 def pack_kv_pages_fused(pages_k, pages_v, scales_k=None, scales_v=None):
@@ -427,8 +434,8 @@ def pack_kv_pages_fused(pages_k, pages_v, scales_k=None, scales_v=None):
     bottleneck of the chunked kernel after compute fattening
     (docs/paged_roofline_chunked.json).
 
-        pages_kv:  (num_pages, 2, H, P//2, 2*D)   [0]=K rows, [1]=V rows
-        scales_kv: (num_pages, 2, 2, H * P//2)    [kv, parity, (H,P//2) row]
+        pages_kv:  (num_pages, 2, H, P//f, f*D)   [0]=K rows, [1]=V rows
+        scales_kv: (num_pages, 2, f, H * P//f)    [kv, parity, (H,P//f) row]
     """
     pk2, sk2 = pack_kv_pages(pages_k, scales_k)
     pv2, sv2 = pack_kv_pages(pages_v, scales_v)
@@ -444,7 +451,7 @@ def _chunked_kernel(ws_ref, first_ref, last_ref, orow_ref, active_ref,
                     o_ref,
                     m_scr, l_scr, acc_scr, kvbuf, skvbuf,
                     kvsem, skvsem, *,
-                    sm_scale, page_size, head_dim, chunk, quantized,
+                    sm_scale, page_size, head_dim, pack, chunk, quantized,
                     has_bias):
     """Chunked work-list paged decode over the PACKED page layout.
 
@@ -457,20 +464,22 @@ def _chunked_kernel(ws_ref, first_ref, last_ref, orow_ref, active_ref,
     docs/paged_roofline.json), so items must be fat and DMAs must overlap
     compute across items.
 
-    Packed rows hold two tokens (pack_kv_pages), so scores come from TWO
-    zero-padded q matmuls that cannot mix tokens: qE = [q | 0] hits the even
-    halves, qO = [0 | q] the odd halves; per-token int8 scales FOLD INTO the
-    scores (k) and probabilities (v) as row-wise multiplies instead of
-    dequantizing K/V element-wise; PV uses the same pairing in reverse
-    (pvE[:, :D] + pvO[:, D:]). The online-softmax accumulators carry across
-    a slot's items on the sequential grid exactly as in _ragged_kernel."""
+    Packed rows hold f = 128//D tokens (pack_kv_pages), so scores come from
+    ONE f-stacked zero-padded q matmul that cannot mix tokens: score rows
+    [j*H:(j+1)*H] carry q shifted to lane offset j*D and hit only parity-j
+    tokens; per-token int8 scales FOLD INTO the scores (k) and
+    probabilities (v) as row-wise multiplies instead of dequantizing K/V
+    element-wise; PV recombines as sum_j pv[j*H:(j+1)*H, j*D:(j+1)*D]. The
+    online-softmax accumulators carry across a slot's items on the
+    sequential grid exactly as in _ragged_kernel."""
     g = pl.program_id(0)
     n_items = pl.num_programs(0)
     nh = q_ref.shape[1]
     d = head_dim
-    p2 = page_size // 2
-    hp2 = nh * p2
-    rows = chunk * hp2
+    f = pack
+    pp = page_size // f                    # packed rows per page
+    hpp = nh * pp
+    rows = chunk * hpp
 
     def start_dmas(buf, item):
         for ci in range(chunk):
@@ -517,69 +526,75 @@ def _chunked_kernel(ws_ref, first_ref, last_ref, orow_ref, active_ref,
     @pl.when(active_ref[g] == 1)
     def _compute():
         wait_dmas(buf)
-        kv = kvbuf[buf]                                    # (chunk,2,h,p2,2d)
+        kv = kvbuf[buf]                                   # (chunk,2,h,pp,f*d)
         cdt = jnp.float32 if (quantized or q_ref.dtype == jnp.float32
                               and kvbuf.dtype != jnp.bfloat16) else jnp.bfloat16
-        kflat = kv[:, 0].astype(cdt).reshape(rows, 2 * d)
-        vflat = kv[:, 1].astype(cdt).reshape(rows, 2 * d)
+        kflat = kv[:, 0].astype(cdt).reshape(rows, f * d)
+        vflat = kv[:, 1].astype(cdt).reshape(rows, f * d)
         q = q_ref[0].astype(cdt)                          # (H, D)
         zeros = jnp.zeros_like(q)
-        # ONE double-height matmul covers both parities: rows [0:H] carry
-        # [q | 0] (hit even-token halves), rows [H:2H] carry [0 | q]
-        q_both = jnp.concatenate(
-            [jnp.concatenate([q, zeros], axis=1),
-             jnp.concatenate([zeros, q], axis=1)], axis=0)  # (2H, 2D)
-        s_both = jax.lax.dot_general(
-            q_both, kflat, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)            # (2H, rows)
+        # ONE f-stacked matmul covers all parities: rows [j*H:(j+1)*H]
+        # carry q at lane offset j*D and hit only parity-j tokens
+        q_all = jnp.concatenate(
+            [jnp.concatenate([zeros] * j + [q] + [zeros] * (f - 1 - j),
+                             axis=1) if f > 1 else q
+             for j in range(f)], axis=0)                   # (fH, fD)
+        s_all = jax.lax.dot_general(
+            q_all, kflat, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)            # (fH, rows)
+
         def per_parity_rows(x):
-            # (chunk, 2, hp2) [ci, parity, row] -> (2H, rows): rows [0:H]
-            # carry the even-token values, [H:2H] the odd-token values
-            two = jnp.stack([x[:, 0, :].reshape(rows),
-                             x[:, 1, :].reshape(rows)])    # (2, rows)
-            return jnp.repeat(two, nh, axis=0)             # (2H, rows)
+            # (chunk, f, hpp) [ci, parity, row] -> (fH, rows): row block j
+            # carries the parity-j token values
+            planes = jnp.stack([x[:, j, :].reshape(rows)
+                                for j in range(f)])        # (f, rows)
+            return jnp.repeat(planes, nh, axis=0)          # (fH, rows)
 
         if quantized:
             # per-token K scales fold into the scores: s = (q . k_int8) * sk
-            skv = skvbuf[buf]                              # (chunk,2,2,hp2)
-            s_both = s_both * per_parity_rows(skv[:, 0])
+            skv = skvbuf[buf]                              # (chunk,2,f,hpp)
+            s_all = s_all * per_parity_rows(skv[:, 0])
         if sm_scale != 1.0:
-            s_both = s_both * sm_scale
+            s_all = s_all * sm_scale
         if has_bias:
-            bias = bias_ref[0, 0, 0]                       # (chunk, 2, hp2)
-            s_both = s_both + per_parity_rows(bias).astype(jnp.float32)
+            bias = bias_ref[0, 0, 0]                       # (chunk, f, hpp)
+            s_all = s_all + per_parity_rows(bias).astype(jnp.float32)
 
-        col = jax.lax.broadcasted_iota(jnp.int32, (2 * nh, rows), 1)
-        ci = col // hp2
-        within_hp = col - ci * hp2
-        chead = within_hp // p2
-        within = within_hp - chead * p2
-        row_id = jax.lax.broadcasted_iota(jnp.int32, (2 * nh, rows), 0)
-        parity = row_id // nh                              # 0=even, 1=odd
-        pos = (base + ci) * page_size + 2 * within + parity
+        col = jax.lax.broadcasted_iota(jnp.int32, (f * nh, rows), 1)
+        ci = col // hpp
+        within_hp = col - ci * hpp
+        chead = within_hp // pp
+        within = within_hp - chead * pp
+        row_id = jax.lax.broadcasted_iota(jnp.int32, (f * nh, rows), 0)
+        parity = row_id // nh                              # token parity j
+        pos = (base + ci) * page_size + f * within + parity
         own = (chead == row_id - parity * nh) & (pos < length)
-        s_both = jnp.where(own, s_both, _NEG_INF)
+        s_all = jnp.where(own, s_all, _NEG_INF)
 
         m_prev = m_scr[...]                                # (H, 1)
-        m_new = jnp.maximum(
-            m_prev, jnp.maximum(
-                jnp.max(s_both[:nh], axis=1, keepdims=True),
-                jnp.max(s_both[nh:], axis=1, keepdims=True)))
-        m2 = jnp.concatenate([m_new, m_new], axis=0)       # (2H, 1)
+        m_new = m_prev
+        for j in range(f):
+            m_new = jnp.maximum(m_new, jnp.max(
+                s_all[j * nh:(j + 1) * nh], axis=1, keepdims=True))
+        m_all = jnp.concatenate([m_new] * f, axis=0)       # (fH, 1)
         alpha = jnp.exp(m_prev - m_new)
-        p_both = jnp.where(own, jnp.exp(s_both - m2), 0.0)
-        l_scr[...] = (l_scr[...] * alpha
-                      + jnp.sum(p_both[:nh], axis=1, keepdims=True)
-                      + jnp.sum(p_both[nh:], axis=1, keepdims=True))
+        p_all = jnp.where(own, jnp.exp(s_all - m_all), 0.0)
+        lsum = jnp.zeros_like(m_new)
+        for j in range(f):
+            lsum = lsum + jnp.sum(p_all[j * nh:(j + 1) * nh], axis=1,
+                                  keepdims=True)
+        l_scr[...] = l_scr[...] * alpha + lsum
         m_scr[...] = m_new
         if quantized:
             # per-token V scales fold into the probabilities
-            p_both = p_both * per_parity_rows(skvbuf[buf][:, 1])
-        pv_both = jax.lax.dot_general(
-            p_both.astype(cdt), vflat, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)            # (2H, 2D)
-        acc_scr[...] = (acc_scr[...] * alpha
-                        + pv_both[:nh, :d] + pv_both[nh:, d:])
+            p_all = p_all * per_parity_rows(skvbuf[buf][:, 1])
+        pv_all = jax.lax.dot_general(
+            p_all.astype(cdt), vflat, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)            # (fH, fD)
+        pv = pv_all[:nh, :d]
+        for j in range(1, f):
+            pv = pv + pv_all[j * nh:(j + 1) * nh, j * d:(j + 1) * d]
+        acc_scr[...] = acc_scr[...] * alpha + pv
 
     @pl.when(last_ref[g] == 1)
     def _finalize():
@@ -595,10 +610,11 @@ def paged_decode_attention_chunked_packed(q, pages_kv, scales_kv,
                                           chunk: int = 8):
     """Chunked work-list paged decode over FUSED PACKED pools
     (pack_kv_pages_fused layout — production keeps the pool packed; appends
-    write token t to row t//2, half t%2). `chunk` = pages per work item."""
+    write token t to row t//f, lane block t%f). `chunk` = pages per item."""
     b, h, d = q.shape
-    n_pages, _, _, p2, d2 = pages_kv.shape
-    P = p2 * 2
+    n_pages, _, _, pp, d2 = pages_kv.shape
+    f = d2 // d                               # tokens packed per lane row
+    P = pp * f
     maxp = page_table.shape[1]
     quantized = scales_kv is not None
     has_bias = bias is not None
@@ -624,16 +640,16 @@ def paged_decode_attention_chunked_packed(q, pages_kv, scales_kv,
     pids = jnp.where(active[:, None] & (in_slot < npages[ws][:, None]),
                      pids, 0).astype(jnp.int32).reshape(-1)
 
-    dummy_s = jnp.zeros((1, 2, 2, h * p2), jnp.float32)
+    dummy_s = jnp.zeros((1, 2, f, h * pp), jnp.float32)
     if has_bias:
-        # (B, n_chunks, 1, chunk, 2, H*P2): per-item even/odd planes in the
-        # kernel's (H, P2) row order
+        # (B, n_chunks, 1, chunk, f, H*pp): per-item parity planes in the
+        # kernel's (H, pp) row order
         pad_p = (-maxp) % chunk
-        br = bias.reshape(b, h, maxp, p2, 2)
-        br = br.transpose(0, 2, 4, 1, 3).reshape(b, maxp, 2, h * p2)
+        br = bias.reshape(b, h, maxp, pp, f)
+        br = br.transpose(0, 2, 4, 1, 3).reshape(b, maxp, f, h * pp)
         if pad_p:
             br = jnp.pad(br, ((0, 0), (0, pad_p), (0, 0), (0, 0)))
-        bias_in = br.reshape(b, (maxp + pad_p) // chunk, 1, chunk, 2, h * p2)
+        bias_in = br.reshape(b, (maxp + pad_p) // chunk, 1, chunk, f, h * pp)
     else:
         bias_in = jnp.zeros((1, 1, 1, 1, 1, 1), jnp.float32)
 
@@ -656,7 +672,7 @@ def paged_decode_attention_chunked_packed(q, pages_kv, scales_kv,
         grid=(n_items,),
         in_specs=[
             pl.BlockSpec((1, h, d), slot_map, memory_space=pltpu.VMEM),
-            (pl.BlockSpec((1, 1, 1, chunk, 2, h * p2), bias_map,
+            (pl.BlockSpec((1, 1, 1, chunk, f, h * pp), bias_map,
                           memory_space=pltpu.VMEM)
              if has_bias else
              pl.BlockSpec((1, 1, 1, 1, 1, 1), const6_map,
@@ -671,14 +687,14 @@ def paged_decode_attention_chunked_packed(q, pages_kv, scales_kv,
             pltpu.VMEM((h, 1), jnp.float32),
             pltpu.VMEM((h, 1), jnp.float32),
             pltpu.VMEM((h, d), jnp.float32),
-            pltpu.VMEM((2, chunk, 2, h, p2, d2), store),
-            pltpu.VMEM((2, chunk, 2, 2, h * p2), jnp.float32),
+            pltpu.VMEM((2, chunk, 2, h, pp, d2), store),
+            pltpu.VMEM((2, chunk, 2, f, h * pp), jnp.float32),
             pltpu.SemaphoreType.DMA((2, chunk)),
             pltpu.SemaphoreType.DMA((2, chunk)),
         ],
     )
     kern = functools.partial(_chunked_kernel, sm_scale=sm_scale,
-                             page_size=P, head_dim=d, chunk=chunk,
+                             page_size=P, head_dim=d, pack=f, chunk=chunk,
                              quantized=quantized, has_bias=has_bias)
     from flasht5_tpu.ops.flash_attention import _compiler_params
     out = pl.pallas_call(

@@ -150,6 +150,37 @@ def test_chunked_worklist_matches_oracle(quantized, with_bias, chunk):
                                rtol=1e-2)
 
 
+def test_chunked_packing_factor_one():
+    """Head dims that don't divide 128 (or >=128) take the f=1 unpacked
+    path; kernel must degenerate correctly."""
+    from flasht5_tpu.inference.paged_kv import kv_packing_factor
+
+    assert kv_packing_factor(64, 16) == 2
+    assert kv_packing_factor(32, 16) == 4
+    assert kv_packing_factor(16, 16) == 8
+    assert kv_packing_factor(128, 16) == 1
+    assert kv_packing_factor(48, 16) == 1
+    assert kv_packing_factor(64, 2) == 2
+
+    h, d, P, maxp, slots = 2, 48, 8, 4, 3
+    pool = PagedKVPool(num_pages=12, num_heads=h, page_size=P, head_dim=d,
+                       max_slots=slots, max_pages_per_slot=maxp)
+    rng = np.random.default_rng(21)
+    for slot, L in enumerate([19, 7, 26]):
+        pool.ensure_capacity(slot, L)
+        for _ in range(L):
+            pool.append(jnp.asarray([slot]),
+                        jnp.asarray(rng.normal(size=(1, h, d)), jnp.float32),
+                        jnp.asarray(rng.normal(size=(1, h, d)), jnp.float32))
+    q = jax.random.normal(jax.random.PRNGKey(4), (slots, h, d), jnp.float32)
+    out = paged_decode_attention_chunked(
+        q, pool.pages_k, pool.pages_v, None, None,
+        pool.page_table, pool.lengths, sm_scale=0.2, chunk=2)
+    ref = paged_decode_attention_ref(q, pool, sm_scale=0.2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-3,
+                               rtol=1e-2)
+
+
 def test_chunked_worklist_fragmented_jit_and_empty():
     """Chunked form under jit on a fragmented pool with a released slot."""
     h, d, P, maxp, slots = 4, 32, 16, 6, 3

@@ -67,6 +67,11 @@ def main():
     ap.add_argument("--steps", type=int, default=300)
     ap.add_argument("--out", default=None,
                     help="also write the result JSON to this path")
+    ap.add_argument("--state-dtype", default=None,
+                    help="optimizer m/v dtype (e.g. bfloat16) — quality "
+                         "check for the bf16-state fast path")
+    ap.add_argument("--kahan", action="store_true",
+                    help="Kahan-compensated parameter updates")
     args = ap.parse_args()
 
     from flasht5_tpu.config import FlashT5Config
@@ -108,7 +113,8 @@ def main():
 
     tcfg = TrainerConfig(learning_rate=3e-3, max_steps=args.steps,
                          warmup_steps=20, logging_steps=max(args.steps // 6, 1),
-                         output_dir="/tmp/smoke_ckpt")
+                         output_dir="/tmp/smoke_ckpt",
+                         state_dtype=args.state_dtype, kahan_sum=args.kahan)
     trainer = Trainer(config, tcfg)
     eval_batches = list(batches(eval_docs, 8, 2))
 

@@ -44,7 +44,18 @@ def main():
     on_tpu = jax.default_backend() == "tpu"
     batch, enc_len, dec_len = (8, 1024, 256) if on_tpu else (2, 128, 64)
 
-    tx = adamw_scale(1e-3, weight_decay=0.0, mask=no_decay_mask)
+    # FLASHT5_OPT_STATE=bf16: optimizer m/v in bf16 + Kahan-compensated
+    # updates (the reference's bf16-safe AdamW design). Halves the
+    # optimizer's HBM stream: 139.9k -> 142.6k tok/s on-chip A/B (round 3).
+    # NOT the default: the 3000-step delta-ppl smoke at that config trained
+    # to ppl 35.09 vs 34.90 with fp32 state, and its checkpoint's fp8
+    # per-channel delta (+0.19) breached the <=0.1 target
+    # (QUALITY_r03_bf16state.json) — throughput is not worth the measured
+    # quality cost as a default.
+    _state = os.environ.get("FLASHT5_OPT_STATE", "fp32")
+    tx = adamw_scale(1e-3, weight_decay=0.0, mask=no_decay_mask,
+                     state_dtype=jnp.bfloat16 if _state == "bf16" else None,
+                     kahan_sum=(_state == "bf16"))
 
     # ONE compiled init program: params + optimizer state together (eager
     # init is hundreds of tiny dispatches; two separate jits were two slow

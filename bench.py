@@ -90,20 +90,36 @@ def main():
     params, opt_state, loss = step(params, opt_state, input_ids, labels)
     float(loss)
 
+    # Median of >=3 timed loops with a dispersion field: round-3's driver
+    # capture (126.9k) sat 9% below the round-3 dev-time number (139.9k)
+    # with no way to tell chip/tunnel load from a real regression — a single
+    # timed loop cannot distinguish them. (The bench program itself was
+    # bit-identical across those two captures; the spread is environmental.)
     n_steps = 20 if on_tpu else 3
-    t0 = time.perf_counter()
-    for _ in range(n_steps):
-        params, opt_state, loss = step(params, opt_state, input_ids, labels)
-    float(loss)  # chained data dependency -> waits for all steps
-    dt = time.perf_counter() - t0
+    n_loops = 3
+    rates = []
+    for _ in range(n_loops):
+        t0 = time.perf_counter()
+        for _ in range(n_steps):
+            params, opt_state, loss = step(params, opt_state, input_ids,
+                                           labels)
+        float(loss)  # chained data dependency -> waits for all steps
+        dt = time.perf_counter() - t0
+        tokens = n_steps * batch * (enc_len + dec_len)
+        rates.append(tokens / dt)
 
-    tokens = n_steps * batch * (enc_len + dec_len)
-    tps = tokens / dt
+    rates.sort()
+    tps = rates[len(rates) // 2]
+    spread = (rates[-1] - rates[0]) / tps if tps else 0.0
     print(json.dumps({
         "metric": "fat5_small_train_tokens_per_sec",
         "value": round(tps, 1),
         "unit": "tokens/s/chip",
         "vs_baseline": round(tps / 79700.0, 4),
+        "median_of": n_loops,
+        "spread_pct": round(100.0 * spread, 2),
+        "min": round(rates[0], 1),
+        "max": round(rates[-1], 1),
     }), flush=True)
 
 

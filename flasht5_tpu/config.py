@@ -79,6 +79,13 @@ class FlashT5Config:
     # fused implementations are Pallas. Aliases are normalized in from_dict.
     use_fused_layernorm: bool = False
     use_fused_crossentropy: bool = False
+    # Fuse the lm_head matmul INTO the CE kernel (ops/fused_linear_ce.py):
+    # logits never round-trip HBM in either direction. Goes beyond the
+    # reference's fused CE (cross_entropy_loss.py:247 only avoids the
+    # softmax round-trip). Applies when labels are given, the lm_head is
+    # untied, and tp_axis is unset (the vocab-parallel path keeps its own
+    # split CE).
+    use_fused_lm_head_ce: bool = False
     crossentropy_inplace_backward: bool = False  # accepted, no-op under XLA
     use_gelu_act: bool = True
     use_full_bias_size: bool = False

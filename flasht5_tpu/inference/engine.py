@@ -177,15 +177,15 @@ class InferenceEngine:
 
             def run(params, ids):
                 enc = t5.encode(config, params, ids)
-                # per-layer cross K/V for these sequences
+                # per-layer cross K/V for these sequences (head count from
+                # the — possibly tensor-sharded — projection itself)
                 outs = []
                 for blk in params["decoder"]["block"]:
                     ca = blk["cross_attention_layer"]["cross_attention"]
+                    h = ca["Wk"].shape[1] // config.d_kv
                     outs.append((
-                        kv_cache._proj_heads(enc, ca["Wk"], config.num_heads,
-                                             config.d_kv),
-                        kv_cache._proj_heads(enc, ca["Wv"], config.num_heads,
-                                             config.d_kv),
+                        kv_cache._proj_heads(enc, ca["Wk"], h, config.d_kv),
+                        kv_cache._proj_heads(enc, ca["Wv"], h, config.d_kv),
                     ))
                 return outs
 
@@ -252,9 +252,17 @@ class InferenceEngine:
         def step(params, layers, enc_len, pos, cur_token, active, budget,
                  rng):
             """One lockstep decode step for all slots (inactive slots run too
-            — their outputs are masked; static shapes keep XLA happy)."""
-            b = ecfg.max_slots
-            h, dkv = config.num_heads, config.d_kv
+            — their outputs are masked; static shapes keep XLA happy).
+
+            Shard-oblivious: slot count comes from the state (local slots
+            under a data-sharded pool), head counts from the (possibly
+            tensor-sharded) projections; with config.tp_axis set the
+            o-projections reduce across tensor shards (blocking psum or the
+            ring matmul_reducescatter via use_collective_matmul) and the
+            next token comes from the vocab-parallel argmax/sample."""
+            b = cur_token.shape[0]
+            dkv = config.d_kv
+            tp = config.tp_axis
             emb = params["shared"]["embedding"]
             x = jnp.take(emb, cur_token, axis=0).astype(
                 jnp.dtype(config.dtype))[:, None, :]
@@ -269,6 +277,7 @@ class InferenceEngine:
             for li, blk in enumerate(params["decoder"]["block"]):
                 cache = layers[li]
                 sa = blk["self_attention_layer"]["self_attention"]
+                h = sa["Wq"].shape[1] // dkv
                 normed = t5._layer_norm(
                     config, blk["self_attention_layer"]["layer_norm"]["weight"], x)
                 q = kv_cache._proj_heads(normed, sa["Wq"], h, dkv)
@@ -326,7 +335,10 @@ class InferenceEngine:
                     attn = jnp.einsum("bhqn,bhnd->bhqd", p,
                                       _kv_read(self_v)).astype(x.dtype)
                     attn = jnp.transpose(attn, (0, 2, 1, 3)).reshape(b, 1, h * dkv)
-                x = x + t5._matmul(attn, sa["o"])
+                if tp is not None:
+                    x = x + t5._row_parallel_matmul(config, attn, sa["o"])
+                else:
+                    x = x + t5._matmul(attn, sa["o"])
 
                 ca = blk["cross_attention_layer"]["cross_attention"]
                 normed = t5._layer_norm(
@@ -349,7 +361,10 @@ class InferenceEngine:
                     attn = jnp.einsum("bhqn,bhnd->bhqd", p,
                                       _kv_read(cache.cross_v)).astype(x.dtype)
                     attn = jnp.transpose(attn, (0, 2, 1, 3)).reshape(b, 1, h * dkv)
-                x = x + t5._matmul(attn, ca["o"])
+                if tp is not None:
+                    x = x + t5._row_parallel_matmul(config, attn, ca["o"])
+                else:
+                    x = x + t5._matmul(attn, ca["o"])
 
                 x = t5._ff(config, blk["ff_layer"], x, rng=None,
                            deterministic=True)
@@ -361,7 +376,15 @@ class InferenceEngine:
                 logits = jnp.dot(x, emb.T.astype(x.dtype))
             else:
                 logits = t5._matmul(x, params["lm_head"])
-            if ecfg.temperature > 0.0:
+            if tp is not None and not config.tie_word_embeddings:
+                # vocab-parallel next token: never materialize full logits
+                # unless sampling needs the full distribution
+                from flasht5_tpu.parallel.vocab_parallel import (
+                    vocab_parallel_next_token)
+                nxt = vocab_parallel_next_token(
+                    logits[:, 0], tp, rng=rng, temperature=ecfg.temperature,
+                    top_k=ecfg.top_k, top_p=ecfg.top_p)
+            elif ecfg.temperature > 0.0:
                 from flasht5_tpu.inference.sampling import sample_token
                 nxt = sample_token(rng, logits[:, 0],
                                    temperature=ecfg.temperature,
@@ -431,7 +454,7 @@ class InferenceEngine:
         buckets = buckets or self.ecfg.encode_buckets
         st = self.state
         for bucket in buckets:
-            nb = 1
+            nb = self._prefill_batch(1)
             while True:
                 fn = self._encode_fn(bucket, nb)
                 cross = fn(self.params, jnp.zeros((nb, bucket), jnp.int32))
@@ -456,9 +479,10 @@ class InferenceEngine:
         scheduler loop (probe/test helper; pairs with probe_step)."""
         L = min(len(req.input_ids), self.ecfg.max_encode_len)
         bucket = self._bucket_for(L)
-        padded = np.zeros((1, bucket), np.int32)
+        nb = self._prefill_batch(1)   # sharded engines floor this at `data`
+        padded = np.zeros((nb, bucket), np.int32)
         padded[0, :L] = req.input_ids[:L]
-        cross = self._encode_fn(bucket, 1)(self.params, jnp.asarray(padded))
+        cross = self._encode_fn(bucket, nb)(self.params, jnp.asarray(padded))
         st = self.state
         out = self._insert_fn(
             st.layers, st.enc_len, st.pos, st.cur_token, st.active,

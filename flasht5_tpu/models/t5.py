@@ -705,6 +705,20 @@ def forward(
             from flasht5_tpu.parallel.vocab_parallel import vocab_parallel_loss
             out["loss"] = vocab_parallel_loss(config, lm_logits, labels,
                                               config.tp_axis)
+        elif (config.use_fused_lm_head_ce and not config.tie_word_embeddings
+              and isinstance(params["lm_head"], jnp.ndarray)):
+            # lm_head+CE in one kernel: loss computed straight from the
+            # decoder hidden states; `lm_logits` above is dead code under
+            # value_and_grad and XLA DCEs the unfused (rows x V) matmul.
+            from flasht5_tpu.ops.fused_linear_ce import (
+                fused_linear_cross_entropy)
+            losses, _ = fused_linear_cross_entropy(
+                dec.reshape(-1, dec.shape[-1]), params["lm_head"],
+                labels.reshape(-1), config.z_loss or 0.0,
+                config.label_smoothing)
+            # Same reduction quirk as compute_loss: mean over ALL rows
+            # (reference modeling:68).
+            out["loss"] = jnp.mean(losses)
         else:
             out["loss"] = compute_loss(config, lm_logits, labels)
     return out

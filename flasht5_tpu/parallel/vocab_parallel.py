@@ -68,3 +68,32 @@ def vocab_parallel_loss(config: FlashT5Config, local_logits: jnp.ndarray,
         return jnp.mean(loss)  # mean over all rows (reference quirk)
     n_valid = jnp.maximum(jnp.sum(~ignored), 1)
     return jnp.sum(loss) / n_valid
+
+def vocab_parallel_next_token(local_logits: jnp.ndarray, axis: str, *,
+                              rng=None, temperature: float = 0.0,
+                              top_k: int = 0, top_p: float = 1.0
+                              ) -> jnp.ndarray:
+    """Next-token selection over vocab-sharded logits inside shard_map.
+
+    local_logits: (B, V/t) — this shard's contiguous vocab slice. Greedy
+    (temperature <= 0) never materializes the full vocab: each shard reduces
+    to its local (max, argmax) pair and an all_gather of t pairs picks the
+    winner, with exact single-device tie semantics (jnp.argmax takes the
+    LOWEST index: the lowest-offset shard wins ties because shards are
+    ordered by vocab offset). Sampling gathers the full row (needed for the
+    categorical distribution) then draws with the shared rng — identical on
+    every shard, so the returned tokens are replicated.
+    """
+    v_local = local_logits.shape[-1]
+    class_start = jax.lax.axis_index(axis) * v_local
+    if temperature > 0.0:
+        from flasht5_tpu.inference.sampling import sample_token
+        full = jax.lax.all_gather(local_logits, axis, axis=-1, tiled=True)
+        return sample_token(rng, full, temperature=temperature,
+                            top_k=top_k, top_p=top_p)
+    lmax = jnp.max(local_logits, axis=-1)                       # (B,)
+    larg = jnp.argmax(local_logits, axis=-1).astype(jnp.int32) + class_start
+    allmax = jax.lax.all_gather(lmax, axis)                     # (t, B)
+    allarg = jax.lax.all_gather(larg, axis)
+    best = jnp.argmax(allmax, axis=0)                           # (B,)
+    return jnp.take_along_axis(allarg, best[None, :], axis=0)[0]

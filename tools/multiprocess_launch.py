@@ -99,6 +99,17 @@ def run_worker(coordinator: str, num_processes: int, process_id: int,
         losses.append(float(metrics["loss"]))
         gnorms.append(float(metrics["grad_norm"]))
 
+    # timed loop AFTER the parity steps (everything compiled): the same
+    # global computation at 1 process vs N processes differs only by the
+    # cross-process transport, so t_N - t_1 is the DCN-analog comm cost
+    import time
+    timed = max(10, steps)
+    t0 = time.perf_counter()
+    for _ in range(timed):
+        params, opt_state, metrics = step(params, opt_state, batch, None)
+    float(metrics["loss"])
+    step_ms = (time.perf_counter() - t0) / timed * 1e3
+
     if jax.process_index() == 0:
         with open(out_path, "w") as f:
             json.dump({
@@ -107,6 +118,7 @@ def run_worker(coordinator: str, num_processes: int, process_id: int,
                 "global_devices": len(jax.devices()),
                 "losses": losses,
                 "grad_norms": gnorms,
+                "step_ms": round(step_ms, 3),
             }, f, indent=2)
             f.write("\n")
 
@@ -179,12 +191,28 @@ def main():
     multi = launch(args.processes, args.devices, args.steps)
     max_dloss = max(abs(a - b) for a, b in zip(single["losses"],
                                                multi["losses"]))
+
+    def comm_fraction(m):
+        # fraction of the multi-process step spent in cross-process
+        # transport (same global mesh/batch; only the wiring differs)
+        return max(0.0, round(1.0 - single["step_ms"] / m["step_ms"], 4)) \
+            if m.get("step_ms") and single.get("step_ms") else None
+
     result = {
         "single_process": single,
         "multi_process": multi,
+        "comm_time_fraction": comm_fraction(multi),
         "max_loss_delta": max_dloss,
         "parity_ok": max_dloss < 1e-5,
     }
+    if args.processes != 4 and args.devices % 4 == 0:
+        multi4 = launch(4, args.devices, args.steps)
+        d4 = max(abs(a - b) for a, b in zip(single["losses"],
+                                            multi4["losses"]))
+        result["multi_process_4"] = multi4
+        result["comm_time_fraction_4"] = comm_fraction(multi4)
+        result["parity_ok_4"] = d4 < 1e-5
+        result["max_loss_delta_4"] = d4
     print(json.dumps(result, indent=2))
     if args.json:
         with open(args.json, "w") as f:

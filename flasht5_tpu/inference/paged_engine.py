@@ -53,6 +53,16 @@ class PagedEngineConfig:
     #   "dense"   — (slot, page) grid, flat in occupancy
     kernel: str = "chunked"
     pages_per_item: int = 8           # chunked kernel: pages per work item
+    # Window-buffered appends (r4, VERDICT #5 "append tax"): within a sync
+    # window the new K/V go into a dense (B, H, k, D) side buffer written
+    # with a one-hot masked add (the slot engine's cheap scatter); attention
+    # = chunked kernel over the COMMITTED pages (work-list built ONCE per
+    # window instead of per layer per step) LSE-merged with a dense
+    # single-query attention over the side buffer; the packed-page
+    # read-modify-write happens once per window per layer (batched, all k
+    # tokens at once) instead of once per step per layer. Only with
+    # kernel="chunked".
+    window_appends: bool = True
 
 
 class PagedState:
@@ -72,12 +82,17 @@ class PagedState:
         def packed_kv_records():
             # fused token-packed page records for the chunked kernel
             # (paged_kv.pack_kv_pages_fused layout): [page, kv, h, P//f, f*D]
+            # +1 TRASH page (index num_pages, never allocated): the window
+            # flush is a masked batched scatter and rows with no valid lanes
+            # are redirected there, so duplicate masked writes never race a
+            # real page
             from flasht5_tpu.inference.paged_kv import kv_packing_factor
             f = kv_packing_factor(dkv, ecfg.page_size)
+            n = ecfg.num_pages + (1 if ecfg.window_appends else 0)
             vals = jnp.zeros(
-                (ecfg.num_pages, 2, h, ecfg.page_size // f, f * dkv), dt)
+                (n, 2, h, ecfg.page_size // f, f * dkv), dt)
             scales = (jnp.zeros(
-                (ecfg.num_pages, 2, f, h * (ecfg.page_size // f)),
+                (n, 2, f, h * (ecfg.page_size // f)),
                 jnp.float32) if quant else None)
             return KVTensor(vals, scales)
 
@@ -341,6 +356,8 @@ class PagedInferenceEngine:
         return step
 
     def _make_multi_step(self):
+        if self.ecfg.kernel == "chunked" and self.ecfg.window_appends:
+            return self._make_window_multi_step()
         step = self._make_step()
         k = self.ecfg.steps_per_sync
 
@@ -359,6 +376,279 @@ class PagedInferenceEngine:
                 body, (layers, enc_len, pos, cur_token, active, budget),
                 None, length=k)
             return carry, outs
+
+        return multi
+
+    # -- window-buffered decode (append tax removed) ------------------------
+
+    def _make_window_step(self):
+        """One decode step where new K/V go to the dense per-window side
+        buffer and attention = committed-pages kernel (hoisted work-list)
+        LSE-merged with a masked dense attention over the side buffer."""
+        config, ecfg = self.config, self.ecfg
+        quant = ecfg.kv_dtype == "int8"
+        P = ecfg.page_size
+        k_win = ecfg.steps_per_sync
+        maxL = ecfg.max_pages_per_slot * P
+
+        def step(params, layers, page_table, worklist, base, side, t,
+                 enc_len, pos, cur_token, active, budget):
+            b = ecfg.max_slots
+            h, dkv = config.num_heads, config.d_kv
+            emb = params["shared"]["embedding"]
+            x = jnp.take(emb, cur_token, axis=0).astype(
+                jnp.dtype(config.dtype))[:, None, :]
+
+            cpos = jnp.arange(ecfg.max_encode_len, dtype=jnp.int32)
+            cross_valid = cpos[None, :] < enc_len[:, None]
+
+            paged_bias = None
+            side_bias = None
+            if config.position_encoding_type == "t5":
+                pe = params["decoder"]["block"][0]["self_attention_layer"][
+                    "self_attention"].get("pe_encoding")
+                kpos = jnp.arange(maxL, dtype=jnp.int32)
+                rel = kpos[None, :] - pos[:, None]
+                buckets = relative_position_bucket(
+                    rel, bidirectional=False,
+                    num_buckets=config.relative_attention_num_buckets,
+                    max_distance=config.relative_attention_max_distance)
+                vals = jnp.take(pe["relative_attention_bias"], buckets,
+                                axis=0)
+                paged_bias = jnp.transpose(vals, (0, 2, 1))   # (B, H, maxL)
+                # side keys live at positions base..base+k-1; the query is
+                # at base+t, so rel = j - t: SLOT-INDEPENDENT (one (H, k)
+                # row for the whole batch)
+                rel_s = jnp.arange(k_win, dtype=jnp.int32)[None, :] - t
+                bk_s = relative_position_bucket(
+                    rel_s, bidirectional=False,
+                    num_buckets=config.relative_attention_num_buckets,
+                    max_distance=config.relative_attention_max_distance)
+                side_bias = jnp.transpose(
+                    jnp.take(pe["relative_attention_bias"], bk_s[0], axis=0),
+                    (1, 0))[None]                             # (1, H, k)
+
+            tsel = (jnp.arange(k_win, dtype=jnp.int32) == t)[None, None, :,
+                                                             None]
+            smask = (jnp.arange(k_win, dtype=jnp.int32)[None, None, :]
+                     <= t)                                    # (1, 1, k)
+
+            new_side = []
+            for li, blk in enumerate(params["decoder"]["block"]):
+                layer = layers[li]
+                side_k, side_v = side[li]
+                sa = blk["self_attention_layer"]["self_attention"]
+                normed = t5._layer_norm(
+                    config, blk["self_attention_layer"]["layer_norm"]["weight"], x)
+                q = kv_cache._proj_heads(normed, sa["Wq"], h, dkv)[:, :, 0]
+                k_new = kv_cache._proj_heads(normed, sa["Wk"], h, dkv)[:, :, 0]
+                v_new = kv_cache._proj_heads(normed, sa["Wv"], h, dkv)[:, :, 0]
+
+                def side_append(kv: KVTensor, new):
+                    if quant:
+                        nq, ns = quantize_kv(new)          # (B,H,D),(B,H,1)
+                        vals = kv.values + jnp.where(
+                            tsel, nq[:, :, None, :].astype(kv.values.dtype), 0)
+                        scales = kv.scales + jnp.where(
+                            tsel[..., :1], ns[:, :, None, :], 0.0)
+                        return KVTensor(vals, scales)
+                    vals = kv.values + jnp.where(
+                        tsel, new[:, :, None, :].astype(kv.values.dtype), 0)
+                    return KVTensor(vals, None)
+
+                side_k = side_append(side_k, k_new)
+                side_v = side_append(side_v, v_new)
+
+                q32 = q.astype(jnp.float32)
+                out_p, m_p, l_p = paged_decode_attention_chunked_packed(
+                    q32, layer["pages_kv"].values, layer["pages_kv"].scales,
+                    page_table, base, sm_scale=config.softmax_scale,
+                    bias=(None if paged_bias is None
+                          else paged_bias.astype(jnp.float32)),
+                    chunk=ecfg.pages_per_item,
+                    worklist=worklist, return_state=True)
+
+                skf = side_k.values.astype(jnp.float32)
+                svf = side_v.values.astype(jnp.float32)
+                if quant:
+                    skf = skf * side_k.scales
+                s_side = jnp.einsum("bhd,bhtd->bht", q32,
+                                    skf) * config.softmax_scale
+                if side_bias is not None:
+                    s_side = s_side + side_bias.astype(jnp.float32)
+                s_side = jnp.where(smask, s_side, -jnp.inf)
+                m_s = jnp.max(s_side, axis=-1)                   # (B, H)
+                p = jnp.where(smask, jnp.exp(s_side - m_s[..., None]), 0.0)
+                l_s = jnp.sum(p, axis=-1)
+                if quant:
+                    p = p * side_v.scales[..., 0]
+                o_s = jnp.einsum("bht,bhtd->bhd", p, svf)        # unnorm
+
+                m_c = jnp.maximum(m_p, m_s)
+                w_p = jnp.exp(m_p - m_c) * l_p
+                w_s = jnp.exp(m_s - m_c)
+                denom = w_p + w_s * l_s
+                attn = (out_p.astype(jnp.float32) * w_p[..., None]
+                        + o_s * w_s[..., None]) / denom[..., None]
+                attn = attn.astype(x.dtype).reshape(b, 1, h * dkv)
+                x = x + t5._matmul(attn, sa["o"])
+
+                ca = blk["cross_attention_layer"]["cross_attention"]
+                normed = t5._layer_norm(
+                    config, blk["cross_attention_layer"]["layer_norm"]["weight"], x)
+                qc = kv_cache._proj_heads(normed, ca["Wq"], h, dkv)
+                s = jnp.einsum("bhqd,bhnd->bhqn", qc.astype(jnp.float32),
+                               _kv_read(layer["cross_k"])) * config.softmax_scale
+                s = jnp.where(cross_valid[:, None, None, :], s, -1e30)
+                pc = jax.nn.softmax(s, axis=-1)
+                attn = jnp.einsum("bhqn,bhnd->bhqd", pc,
+                                  _kv_read(layer["cross_v"])).astype(x.dtype)
+                attn = jnp.transpose(attn, (0, 2, 1, 3)).reshape(b, 1, h * dkv)
+                x = x + t5._matmul(attn, ca["o"])
+
+                x = t5._ff(config, blk["ff_layer"], x, rng=None,
+                           deterministic=True)
+                new_side.append((side_k, side_v))
+
+            x = t5._layer_norm(config,
+                               params["decoder"]["final_layer_norm"]["weight"], x)
+            if config.tie_word_embeddings:
+                logits = jnp.dot(x, emb.T.astype(x.dtype))
+            else:
+                logits = t5._matmul(x, params["lm_head"])
+            nxt = jnp.argmax(logits[:, 0], axis=-1).astype(jnp.int32)
+
+            budget = jnp.where(active, budget - 1, budget)
+            hit_eos = nxt == config.eos_token_id
+            out_of_room = (pos + 1 >= maxL) | (budget <= 0)
+            finished = active & (hit_eos | out_of_room)
+            cur_token = jnp.where(active, nxt, cur_token)
+            pos = jnp.where(active, pos + 1, pos)
+            active = active & ~finished
+            return (tuple(new_side), pos, cur_token, active, budget, nxt,
+                    finished)
+
+        return step
+
+    def _flush_side(self, layer_kv: KVTensor, side_k: KVTensor,
+                    side_v: KVTensor, page_table, base, cnt):
+        """Commit a window's side-buffer tokens into the packed page pool:
+        ONE batched gather + scatter per (layer, plane) covering all k
+        tokens, vs the r3 engine's per-step per-layer read-modify-write.
+        Rows with no valid lane are redirected to the TRASH page (all such
+        writes carry identical gathered-old bytes, so duplicate scatters
+        stay deterministic)."""
+        ecfg = self.ecfg
+        from flasht5_tpu.inference.paged_kv import kv_packing_factor
+        P = ecfg.page_size
+        dkv = self.config.d_kv
+        f = kv_packing_factor(dkv, P)
+        k_win = ecfg.steps_per_sync
+        # spanned packed rows: tokens base..base+k-1 start at lane base%f,
+        # so worst case floor((f-1 + k-1)/f) + 1 rows
+        R = (k_win + f - 2) // f + 1
+        b = base.shape[0]
+        maxp = page_table.shape[1]
+        trash = layer_kv.values.shape[0] - 1
+
+        g = jnp.arange(R, dtype=jnp.int32)[None, :]            # (1, R)
+        row_tok0 = (base[:, None] // f + g) * f                # (B, R)
+        page_idx = jnp.clip(row_tok0 // P, 0, maxp - 1)
+        pid = jnp.take_along_axis(page_table, page_idx, axis=1)  # (B, R)
+        row_in_page = (row_tok0 % P) // f                      # (B, R)
+        j = jnp.arange(f, dtype=jnp.int32)[None, None, :]      # (1, 1, f)
+        sidx = (g[..., None] * f + j) - (base[:, None, None] % f)  # (B,R,f)
+        maxL = ecfg.max_pages_per_slot * P
+        valid = (sidx >= 0) & (sidx < cnt[:, None, None]) & \
+            (row_tok0[..., None] < maxL)
+        row_any = jnp.any(valid, axis=-1)                      # (B, R)
+        pid_safe = jnp.where(row_any, pid, trash)
+
+        sclip = jnp.clip(sidx, 0, k_win - 1).reshape(b, R * f)  # (B, R*f)
+
+        def gather_side(vals):                                 # (B,H,k,D)
+            h = vals.shape[1]
+            gath = jnp.take_along_axis(
+                vals, sclip[:, None, :, None].astype(jnp.int32),
+                axis=2)                                        # (B,H,R*f,D)
+            gath = gath.reshape(b, h, R, f, dkv)
+            return jnp.transpose(gath, (0, 2, 1, 3, 4)).reshape(
+                b, R, h, f * dkv)
+
+        lane_valid = jnp.repeat(valid, dkv, axis=-1)[:, :, None, :]
+
+        vals = layer_kv.values
+        scales = layer_kv.scales
+        for plane, sb in ((0, side_k), (1, side_v)):
+            old = vals[pid_safe, plane, :, row_in_page]        # (B,R,H,fD)
+            new = jnp.where(lane_valid,
+                            gather_side(sb.values).astype(vals.dtype), old)
+            vals = vals.at[pid_safe, plane, :, row_in_page].set(new)
+            if scales is not None:
+                h = sb.values.shape[1]
+                cols = (jnp.arange(h, dtype=jnp.int32)[None, None, None, :]
+                        * (P // f) + row_in_page[:, :, None, None])
+                pid4 = pid_safe[:, :, None, None]
+                j4 = j.reshape(1, 1, f, 1)
+                old_s = scales[pid4, plane, j4, cols]          # (B,R,f,H)
+                gs = jnp.take_along_axis(
+                    sb.scales[..., 0], sclip[:, None, :], axis=2)  # (B,H,R*f)
+                gs = jnp.transpose(gs.reshape(b, h, R, f), (0, 2, 3, 1))
+                new_s = jnp.where(valid[..., None], gs, old_s)
+                scales = scales.at[pid4, plane, j4, cols].set(new_s)
+        return KVTensor(vals, scales)
+
+    def _make_window_multi_step(self):
+        from flasht5_tpu.inference.paged_kv import (build_chunked_worklist,
+                                                    kv_packing_factor)
+        step = self._make_window_step()
+        config, ecfg = self.config, self.ecfg
+        k = ecfg.steps_per_sync
+        quant = ecfg.kv_dtype == "int8"
+        P = ecfg.page_size
+
+        def multi(params, layers, page_table, enc_len, pos, cur_token,
+                  active, budget):
+            b = ecfg.max_slots
+            h, dkv = config.num_heads, config.d_kv
+            base = pos                       # committed tokens, fixed window
+            n_pool = layers[0]["pages_kv"].values.shape[0]
+            worklist = build_chunked_worklist(
+                page_table, base, page_size=P, chunk=ecfg.pages_per_item,
+                n_pages=n_pool)
+            sdt = (jnp.int8 if quant
+                   else jnp.dtype(config.dtype))
+
+            def empty_side():
+                vals = jnp.zeros((b, h, k, dkv), sdt)
+                scales = (jnp.zeros((b, h, k, 1), jnp.float32)
+                          if quant else None)
+                return KVTensor(vals, scales)
+
+            side0 = tuple((empty_side(), empty_side()) for _ in layers)
+
+            def body(carry, t):
+                side, pos, cur_token, active, budget = carry
+                was_active = active
+                (side, pos, cur_token, active, budget, nxt,
+                 finished) = step(params, layers, page_table, worklist, base,
+                                  side, t, enc_len, pos, cur_token, active,
+                                  budget)
+                return ((side, pos, cur_token, active, budget),
+                        (nxt, finished, was_active))
+
+            (side, pos, cur_token, active, budget), outs = jax.lax.scan(
+                body, (side0, pos, cur_token, active, budget),
+                jnp.arange(k, dtype=jnp.int32))
+
+            cnt = pos - base
+            new_layers = tuple(
+                {**layer, "pages_kv": self._flush_side(
+                    layer["pages_kv"], side[li][0], side[li][1],
+                    page_table, base, cnt)}
+                for li, layer in enumerate(layers))
+            return (new_layers, enc_len, pos, cur_token, active,
+                    budget), outs
 
         return multi
 

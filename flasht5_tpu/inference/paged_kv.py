@@ -448,11 +448,13 @@ def pack_kv_pages_fused(pages_k, pages_v, scales_k=None, scales_v=None):
 def _chunked_kernel(ws_ref, first_ref, last_ref, orow_ref, active_ref,
                     base_ref, pids_ref, len_ref,
                     q_ref, bias_ref, kv_hbm, skv_hbm,
-                    o_ref,
-                    m_scr, l_scr, acc_scr, kvbuf, skvbuf,
-                    kvsem, skvsem, *,
+                    o_ref, *state_refs,
                     sm_scale, page_size, head_dim, pack, chunk, quantized,
-                    has_bias):
+                    has_bias, return_state=False):
+    if return_state:
+        m_ref, l_ref = state_refs[0], state_refs[1]
+        state_refs = state_refs[2:]
+    (m_scr, l_scr, acc_scr, kvbuf, skvbuf, kvsem, skvsem) = state_refs
     """Chunked work-list paged decode over the PACKED page layout.
 
     One grid cell = up to `chunk` consecutive in-slot pages, manually DMA'd
@@ -601,26 +603,22 @@ def _chunked_kernel(ws_ref, first_ref, last_ref, orow_ref, active_ref,
         l = l_scr[...]
         l_safe = jnp.where(l > 0.0, l, 1.0)
         o_ref[0] = (acc_scr[...] / l_safe).astype(o_ref.dtype)
+        if return_state:
+            m_ref[0] = m_scr[...]
+            l_ref[0] = l
 
 
-def paged_decode_attention_chunked_packed(q, pages_kv, scales_kv,
-                                          page_table, lengths, *,
-                                          sm_scale: float = 1.0,
-                                          bias: Optional[jnp.ndarray] = None,
-                                          chunk: int = 8):
-    """Chunked work-list paged decode over FUSED PACKED pools
-    (pack_kv_pages_fused layout — production keeps the pool packed; appends
-    write token t to row t//f, lane block t%f). `chunk` = pages per item."""
-    b, h, d = q.shape
-    n_pages, _, _, pp, d2 = pages_kv.shape
-    f = d2 // d                               # tokens packed per lane row
-    P = pp * f
+def build_chunked_worklist(page_table, lengths, *, page_size: int,
+                           chunk: int, n_pages: int):
+    """Work-list construction for the chunked kernel, exposed so engines can
+    hoist it out of per-step code: within a decode window the committed
+    lengths and page table are FIXED, so one work-list serves every step of
+    every layer (the r3 engine rebuilt it per layer per step — part of the
+    measured paged append tax)."""
+    b = page_table.shape[0]
     maxp = page_table.shape[1]
-    quantized = scales_kv is not None
-    has_bias = bias is not None
-    chunk = max(1, min(chunk, maxp))
+    P = page_size
     n_items = (n_pages + chunk - 1) // chunk + b
-
     npages = (lengths + P - 1) // P                        # (b,)
     nitems = (npages + chunk - 1) // chunk
     ends = jnp.cumsum(nitems)
@@ -639,6 +637,42 @@ def paged_decode_attention_chunked_packed(q, pages_kv, scales_kv,
     pids = page_table[ws[:, None], jnp.clip(in_slot, 0, maxp - 1)]
     pids = jnp.where(active[:, None] & (in_slot < npages[ws][:, None]),
                      pids, 0).astype(jnp.int32).reshape(-1)
+    return (ws, first, last, o_row, active.astype(jnp.int32),
+            item_in_slot.astype(jnp.int32), pids)
+
+
+def paged_decode_attention_chunked_packed(q, pages_kv, scales_kv,
+                                          page_table, lengths, *,
+                                          sm_scale: float = 1.0,
+                                          bias: Optional[jnp.ndarray] = None,
+                                          chunk: int = 8,
+                                          worklist=None,
+                                          return_state: bool = False):
+    """Chunked work-list paged decode over FUSED PACKED pools
+    (pack_kv_pages_fused layout — production keeps the pool packed; appends
+    write token t to row t//f, lane block t%f). `chunk` = pages per item.
+
+    `worklist`: optional precomputed build_chunked_worklist(...) result (the
+    window-buffered engine hoists it — one list per decode window instead of
+    per layer per step). `return_state`: also return the per-slot online-
+    softmax (m, l) so a caller can LSE-merge this output with attention over
+    uncommitted tokens (the window side buffer).
+    """
+    b, h, d = q.shape
+    n_pages, _, _, pp, d2 = pages_kv.shape
+    f = d2 // d                               # tokens packed per lane row
+    P = pp * f
+    maxp = page_table.shape[1]
+    quantized = scales_kv is not None
+    has_bias = bias is not None
+    chunk = max(1, min(chunk, maxp))
+    n_items = (n_pages + chunk - 1) // chunk + b
+
+    if worklist is None:
+        worklist = build_chunked_worklist(page_table, lengths,
+                                          page_size=P, chunk=chunk,
+                                          n_pages=n_pages)
+    ws, first, last, o_row, active, item_in_slot, pids = worklist
 
     dummy_s = jnp.zeros((1, 2, f, h * pp), jnp.float32)
     if has_bias:
@@ -667,6 +701,12 @@ def paged_decode_attention_chunked_packed(q, pages_kv, scales_kv,
         return (orow_r[gg], 0, 0)
 
     store = pages_kv.dtype
+    out_specs = [pl.BlockSpec((1, h, d), out_map, memory_space=pltpu.VMEM)]
+    out_shape = [jax.ShapeDtypeStruct((b + 1, h, d), q.dtype)]
+    if return_state:
+        out_specs += [pl.BlockSpec((1, h, 1), out_map,
+                                   memory_space=pltpu.VMEM)] * 2
+        out_shape += [jax.ShapeDtypeStruct((b + 1, h, 1), jnp.float32)] * 2
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=8,
         grid=(n_items,),
@@ -682,7 +722,7 @@ def paged_decode_attention_chunked_packed(q, pages_kv, scales_kv,
             pl.BlockSpec(memory_space=pltpu.HBM),   # fused KV page records
             pl.BlockSpec(memory_space=pltpu.HBM),   # fused scale records
         ],
-        out_specs=pl.BlockSpec((1, h, d), out_map, memory_space=pltpu.VMEM),
+        out_specs=out_specs,
         scratch_shapes=[
             pltpu.VMEM((h, 1), jnp.float32),
             pltpu.VMEM((h, 1), jnp.float32),
@@ -695,19 +735,25 @@ def paged_decode_attention_chunked_packed(q, pages_kv, scales_kv,
     )
     kern = functools.partial(_chunked_kernel, sm_scale=sm_scale,
                              page_size=P, head_dim=d, pack=f, chunk=chunk,
-                             quantized=quantized, has_bias=has_bias)
+                             quantized=quantized, has_bias=has_bias,
+                             return_state=return_state)
     from flasht5_tpu.ops.flash_attention import _compiler_params
-    out = pl.pallas_call(
+    outs = pl.pallas_call(
         kern, grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b + 1, h, d), q.dtype),
+        out_shape=out_shape,
         compiler_params=_compiler_params(("arbitrary",)),
         interpret=interpret_mode(),
     )(ws, first, last, o_row, active.astype(jnp.int32),
       item_in_slot.astype(jnp.int32), pids, lengths.astype(jnp.int32),
       q, bias_in, pages_kv,
       scales_kv if quantized else dummy_s)
-    return jnp.where(lengths[:, None, None] > 0,
-                     out[:b], 0.0).astype(q.dtype)
+    live = lengths[:, None, None] > 0
+    out = jnp.where(live, outs[0][:b], 0.0).astype(q.dtype)
+    if not return_state:
+        return out
+    m = jnp.where(live, outs[1][:b], _NEG_INF)
+    l = jnp.where(live, outs[2][:b], 0.0)
+    return out, m[..., 0], l[..., 0]
 
 
 def paged_decode_attention_chunked(q, pages_k, pages_v, scales_k, scales_v,

@@ -53,3 +53,34 @@ def test_paged_pool_reuse_across_requests():
     done = engine.run(mk_requests(n=8, max_new=5))
     assert all(r.result is not None for r in done)
     assert all(r.result[-1] == config.eos_token_id for r in done)
+
+
+@pytest.mark.parametrize("sync", [2, 3, 5])
+@pytest.mark.parametrize("kv", ["native", "int8"])
+def test_window_appends_multi_window_parity(kv, sync):
+    """Window-buffered appends (r4): budgets spanning several sync windows,
+    so flushes hit packed rows mid-row (base % f != 0), cross page
+    boundaries, and interleave with finished slots — token streams must
+    stay identical to the slot-dense engine AND to the per-step append
+    path."""
+    config = tiny_config()
+    params = t5.init_params(jax.random.PRNGKey(0), config)
+
+    def paged(window):
+        return PagedInferenceEngine(config, params, PagedEngineConfig(
+            max_slots=3, page_size=8, num_pages=12, max_pages_per_slot=3,
+            max_encode_len=16, encode_buckets=(16,), kv_dtype=kv,
+            kernel="chunked", pages_per_item=2, steps_per_sync=sync,
+            window_appends=window)).run(mk_requests(n=7, max_new=17))
+
+    dense = InferenceEngine(config, params, EngineConfig(
+        max_slots=3, max_decode_len=24, max_encode_len=16,
+        encode_buckets=(16,), kv_dtype=kv,
+        steps_per_sync=sync)).run(mk_requests(n=7, max_new=17))
+    windowed = paged(True)
+    stepwise = paged(False)
+    for a, b, c in zip(dense, windowed, stepwise):
+        np.testing.assert_array_equal(a.result, b.result,
+                                      err_msg=f"windowed kv={kv} sync={sync}")
+        np.testing.assert_array_equal(a.result, c.result,
+                                      err_msg=f"stepwise kv={kv} sync={sync}")

@@ -422,8 +422,8 @@ def _attention(
         # Measured SLOWER on v5e at M=256 (113.8k vs 119.5k tok/s full-step
         # A/B): XLA saves the (B,H,M,N) probabilities for backward, and that
         # HBM round-trip costs more than the Pallas launches it removes.
-        # Same masking semantics as the kernel path (no padding mask —
-        # parity with the reference's fa2_rpe backend).
+        # Masking semantics are applied after this dispatch (see the
+        # use_masking block below), identically for both branches.
         if m <= int(_os.environ.get("FLASHT5_SMALL_ATTN_M", "0")):
             small_bias = None
             if table is not None:
@@ -441,6 +441,29 @@ def _attention(
                 causal=is_causal, sm_scale=scale, bidirectional=bidirectional,
                 num_buckets=config.relative_attention_num_buckets,
                 max_distance=config.relative_attention_max_distance)
+        if (config.use_masking and mask is not None and mask.ndim == 2
+                and key_value_states is None):
+            # use_masking parity for the in-kernel-bias path. The reference
+            # folds a (B, N) padding mask into the bias as (B, 1, N, 1)
+            # (modeling:266-270), masking QUERY ROWS: every logit in a masked
+            # row absorbs to finfo.min, so softmax over the row is exactly
+            # uniform (1/N per key; 1/(row+1) under the causal -inf). The
+            # reference's own fa2_rpe backend cannot mask at all; here the
+            # semantics are reproduced outside the kernel by selecting the
+            # (causal-running-)mean of V for masked rows — identical forward
+            # values, gradient flows through V only (the reference's
+            # score-path gradient at absorbed logits is numerically void).
+            # Cross-attention is exempt, as in the reference (bias is None
+            # there, so the fold never happens).
+            if is_causal:
+                denom = jnp.arange(1, n + 1, dtype=jnp.float32)
+                uni = (jnp.cumsum(vt.astype(jnp.float32), axis=2)
+                       / denom[None, None, :, None]).astype(out.dtype)
+            else:
+                uni = jnp.broadcast_to(
+                    jnp.mean(vt.astype(jnp.float32), axis=2,
+                             keepdims=True).astype(out.dtype), out.shape)
+            out = jnp.where(mask.astype(bool)[:, None, :, None], out, uni)
     elif config.attention_type == "pallas":
         out = flash_attention(qt, kt, vt, position_bias, causal=is_causal,
                               sm_scale=scale)

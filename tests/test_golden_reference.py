@@ -81,9 +81,7 @@ def test_pallas_attention_matches_reference(path):
 
 RPE_CASES = [p for p in CASE_FILES
              if json.loads(bytes(np.load(p)["config_json"]).decode())
-             .get("position_encoding_type", "t5") == "t5"
-             and not json.loads(bytes(np.load(p)["config_json"]).decode())
-             .get("use_masking", False)]
+             .get("position_encoding_type", "t5") == "t5"]
 
 
 @pytest.mark.parametrize("path", RPE_CASES,
@@ -91,11 +89,13 @@ RPE_CASES = [p for p in CASE_FILES
 def test_pallas_rpe_matches_reference(path):
     """The linear-memory in-kernel-bias path (reference capability: fa2_rpe,
     README.md:60) against the reference's materialized-bias numbers.
-    use_masking cases are excluded: like the reference's fa2_rpe, this path
-    has no materialized bias to fold a mask into."""
+    use_masking (which the reference's fa2_rpe cannot do at all) is handled
+    by the masked-query-row uniform-attention select in models/t5.py."""
     cfg, sd, z = _load(path)
+    # use_full_bias_size is meaningless here (the bias is never materialized)
+    # but config validation keeps the reference's use_masking coupling
     config = _my_config(cfg, attention_type="pallas_rpe",
-                        use_full_bias_size=False)
+                        use_full_bias_size=bool(cfg.get("use_masking", False)))
     out = _run_forward(config, sd, z)
     np.testing.assert_allclose(np.asarray(out["logits"]), z["logits"],
                                atol=5e-4, rtol=5e-4)

@@ -60,6 +60,10 @@ def main():
     ap.add_argument("--page_size", type=int, default=64)
     ap.add_argument("--pages_per_item", type=int, default=8)
     ap.add_argument("--arrival_gap_ms", type=float, default=20.0)
+    ap.add_argument("--repeats", type=int, default=3,
+                    help="timed engine.run repetitions; the row reports the "
+                         "median with min/max (the tunneled dev chip varies "
+                         "run to run under external load)")
     ap.add_argument("--json", dest="json_out", default=None)
     args = ap.parse_args()
     from flasht5_tpu.runtime import enable_compilation_cache
@@ -165,16 +169,23 @@ def main():
                 samples.append(time.perf_counter() - t0)
             ttft = sorted(samples)[len(samples) // 2]
 
-            reqs = mk_reqs()
-            t0 = time.perf_counter()
-            done = engine.run(reqs)
-            dt = time.perf_counter() - t0
-            toks = sum(len(r.result) for r in done)
+            rates = []
+            for _ in range(max(args.repeats, 1)):
+                reqs = mk_reqs()
+                t0 = time.perf_counter()
+                done = engine.run(reqs)
+                dt = time.perf_counter() - t0
+                toks = sum(len(r.result) for r in done)
+                rates.append(toks / dt)
+            rates.sort()
             row = {
                 "metric": f"decode_tokens_per_sec_{tag}",
-                "value": round(toks / dt, 1),
+                "value": round(rates[len(rates) // 2], 1),
                 "unit": "tokens/s/chip",
                 "p50_ttft_ms": round(ttft * 1e3, 1),
+                "median_of": len(rates),
+                "min": round(rates[0], 1),
+                "max": round(rates[-1], 1),
             }
         row.update({
             "requests": n_req,

@@ -16,6 +16,7 @@ functional scatter-appends at (page_table[slot, pos//P], pos%P).
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Callable, Dict, List, Optional, Tuple
 
 import jax
@@ -26,6 +27,7 @@ from flasht5_tpu.config import FlashT5Config
 from flasht5_tpu.inference import kv_cache
 from flasht5_tpu.inference.engine import KVTensor, Request, _kv_make, _kv_read
 from flasht5_tpu.inference.paged_kv import (
+    dense_small_pool_attention,
     paged_decode_attention_arrays,
     paged_decode_attention_chunked_packed,
     paged_decode_attention_ragged,
@@ -53,6 +55,14 @@ class PagedEngineConfig:
     #   "dense"   — (slot, page) grid, flat in occupancy
     kernel: str = "chunked"
     pages_per_item: int = 8           # chunked kernel: pages per work item
+    # Small-pool reader (r4, VERDICT #5): when max_pages_per_slot*page_size
+    # <= dense_read_max tokens, read the committed pages with ONE fused XLA
+    # gather-attention (paged_kv.dense_small_pool_attention) instead of a
+    # Pallas launch per layer per step — the chunked kernel is launch-bound
+    # at a few hundred tokens/slot and only wins at scale. The pool layout,
+    # page table, and tokens-in-flight memory model are identical; only the
+    # reader changes. 0 disables (always use the kernel).
+    dense_read_max: int = 512
     # Window-buffered appends (r4, VERDICT #5 "append tax"): within a sync
     # window the new K/V go into a dense (B, H, k, D) side buffer written
     # with a one-hot masked add (the slot engine's cheap scatter); attention
@@ -154,6 +164,14 @@ class PagedInferenceEngine:
             if length <= b:
                 return b
         return self.ecfg.encode_buckets[-1]
+
+    def _use_dense_read(self) -> bool:
+        """Trace-time reader choice: fused XLA gather-attention for small
+        pools, the chunked Pallas kernel at scale (see dense_read_max)."""
+        ecfg = self.ecfg
+        return (ecfg.kernel == "chunked" and ecfg.dense_read_max > 0
+                and ecfg.max_pages_per_slot * ecfg.page_size
+                <= ecfg.dense_read_max)
 
     def _encode_fn(self, bucket: int) -> Callable:
         if bucket not in self._encode_fns:
@@ -294,13 +312,17 @@ class PagedInferenceEngine:
                     pages_kv = append_packed(layer["pages_kv"], 0, k_new,
                                              fpack)
                     pages_kv = append_packed(pages_kv, 1, v_new, fpack)
-                    attn = paged_decode_attention_chunked_packed(
+                    paged_read = (dense_small_pool_attention
+                                  if self._use_dense_read() else
+                                  functools.partial(
+                                      paged_decode_attention_chunked_packed,
+                                      chunk=ecfg.pages_per_item))
+                    attn = paged_read(
                         q.astype(jnp.float32), pages_kv.values,
                         pages_kv.scales, page_table, pos + 1,
                         sm_scale=config.softmax_scale,
                         bias=(None if self_bias is None
-                              else self_bias.astype(jnp.float32)),
-                        chunk=ecfg.pages_per_item)
+                              else self_bias.astype(jnp.float32)))
                     new_page_state = {"pages_kv": pages_kv}
                 else:
                     pages_k = append(layer["pages_k"], k_new)
@@ -460,13 +482,21 @@ class PagedInferenceEngine:
                 side_v = side_append(side_v, v_new)
 
                 q32 = q.astype(jnp.float32)
-                out_p, m_p, l_p = paged_decode_attention_chunked_packed(
-                    q32, layer["pages_kv"].values, layer["pages_kv"].scales,
-                    page_table, base, sm_scale=config.softmax_scale,
-                    bias=(None if paged_bias is None
-                          else paged_bias.astype(jnp.float32)),
-                    chunk=ecfg.pages_per_item,
-                    worklist=worklist, return_state=True)
+                pbias = (None if paged_bias is None
+                         else paged_bias.astype(jnp.float32))
+                if self._use_dense_read():
+                    out_p, m_p, l_p = dense_small_pool_attention(
+                        q32, layer["pages_kv"].values,
+                        layer["pages_kv"].scales, page_table, base,
+                        sm_scale=config.softmax_scale, bias=pbias,
+                        return_state=True)
+                else:
+                    out_p, m_p, l_p = paged_decode_attention_chunked_packed(
+                        q32, layer["pages_kv"].values,
+                        layer["pages_kv"].scales,
+                        page_table, base, sm_scale=config.softmax_scale,
+                        bias=pbias, chunk=ecfg.pages_per_item,
+                        worklist=worklist, return_state=True)
 
                 skf = side_k.values.astype(jnp.float32)
                 svf = side_v.values.astype(jnp.float32)
@@ -613,9 +643,10 @@ class PagedInferenceEngine:
             h, dkv = config.num_heads, config.d_kv
             base = pos                       # committed tokens, fixed window
             n_pool = layers[0]["pages_kv"].values.shape[0]
-            worklist = build_chunked_worklist(
-                page_table, base, page_size=P, chunk=ecfg.pages_per_item,
-                n_pages=n_pool)
+            worklist = (None if self._use_dense_read()
+                        else build_chunked_worklist(
+                            page_table, base, page_size=P,
+                            chunk=ecfg.pages_per_item, n_pages=n_pool))
             sdt = (jnp.int8 if quant
                    else jnp.dtype(config.dtype))
 

@@ -641,6 +641,56 @@ def build_chunked_worklist(page_table, lengths, *, page_size: int,
             item_in_slot.astype(jnp.int32), pids)
 
 
+def dense_small_pool_attention(q, pages_kv, scales_kv, page_table, lengths, *,
+                               sm_scale: float = 1.0,
+                               bias: Optional[jnp.ndarray] = None,
+                               return_state: bool = False):
+    """Small-pool decode attention over the SAME fused packed page pool as
+    the chunked kernel, read via one XLA gather instead of a Pallas launch.
+
+    The chunked kernel is the right tool at scale (0.85 of the HBM roofline
+    at 64 slots x 2048 int8 tokens, docs/paged_roofline_chunked.json) but is
+    launch-bound when max_pages_per_slot*P is a few hundred tokens: the
+    window decode step pays 8 kernel launches per token (one per layer) to
+    read a pool that fits a single fused XLA region. Same (out[, m, l]) API
+    so the engine swaps readers at trace time; the paged memory model
+    (pool + page table, tokens-in-flight footprint) is unchanged."""
+    b, h, d = q.shape
+    n_pages, _, _, pp, d2 = pages_kv.shape
+    f = d2 // d
+    P = pp * f
+    maxp = page_table.shape[1]
+    maxL = maxp * P
+    gath = jnp.take(pages_kv, page_table, axis=0)   # (B, maxp, 2, H, pp, fD)
+    gath = gath.reshape(b, maxp, 2, h, pp, f, d)
+    kv = jnp.transpose(gath, (2, 0, 3, 1, 4, 5, 6)).reshape(2, b, h, maxL, d)
+    kf = kv[0].astype(jnp.float32)
+    vf = kv[1].astype(jnp.float32)
+    if scales_kv is not None:
+        # scales[p, plane, j, h*pp + r] scales token r*f + j of head h
+        sg = jnp.take(scales_kv, page_table, axis=0)  # (B, maxp, 2, f, h*pp)
+        sg = sg.reshape(b, maxp, 2, f, h, pp)
+        sc = jnp.transpose(sg, (2, 0, 4, 1, 5, 3)).reshape(2, b, h, maxL, 1)
+        kf = kf * sc[0]
+        vf = vf * sc[1]
+    s = jnp.einsum("bhd,bhnd->bhn", q.astype(jnp.float32), kf) * sm_scale
+    if bias is not None:
+        s = s + bias.astype(jnp.float32)
+    tok = jnp.arange(maxL, dtype=jnp.int32)
+    mask = tok[None, None, :] < lengths[:, None, None]
+    s = jnp.where(mask, s, _NEG_INF)
+    m = jnp.max(s, axis=-1)
+    m_safe = jnp.where(m > _NEG_INF / 2, m, 0.0)
+    p = jnp.where(mask, jnp.exp(s - m_safe[..., None]), 0.0)
+    l = jnp.sum(p, axis=-1)
+    o = (jnp.einsum("bhn,bhnd->bhd", p, vf)
+         / jnp.maximum(l, 1e-30)[..., None])
+    out = o.astype(q.dtype)
+    if not return_state:
+        return out
+    return out, jnp.where(l > 0, m_safe, _NEG_INF), l
+
+
 def paged_decode_attention_chunked_packed(q, pages_kv, scales_kv,
                                           page_table, lengths, *,
                                           sm_scale: float = 1.0,

@@ -25,9 +25,10 @@ def mk_requests(n=6, max_new=6):
             for i in range(n)]
 
 
+@pytest.mark.parametrize("dense_read", [0, 512])
 @pytest.mark.parametrize("kernel", ["chunked", "ragged", "dense"])
 @pytest.mark.parametrize("kv", ["native", "int8"])
-def test_paged_matches_dense_engine(kv, kernel):
+def test_paged_matches_dense_engine(kv, kernel, dense_read):
     config = tiny_config()
     params = t5.init_params(jax.random.PRNGKey(0), config)
 
@@ -37,10 +38,12 @@ def test_paged_matches_dense_engine(kv, kernel):
     paged = PagedInferenceEngine(config, params, PagedEngineConfig(
         max_slots=3, page_size=4, num_pages=16, max_pages_per_slot=2,
         max_encode_len=16, encode_buckets=(16,), kv_dtype=kv,
-        kernel=kernel, pages_per_item=2)).run(mk_requests())
+        kernel=kernel, pages_per_item=2,
+        dense_read_max=dense_read)).run(mk_requests())
     for a, b in zip(dense, paged):
-        np.testing.assert_array_equal(a.result, b.result,
-                                      err_msg=f"kv={kv} kernel={kernel}")
+        np.testing.assert_array_equal(
+            a.result, b.result,
+            err_msg=f"kv={kv} kernel={kernel} dense_read={dense_read}")
 
 
 def test_paged_pool_reuse_across_requests():
@@ -55,9 +58,10 @@ def test_paged_pool_reuse_across_requests():
     assert all(r.result[-1] == config.eos_token_id for r in done)
 
 
+@pytest.mark.parametrize("dense_read", [0, 512])
 @pytest.mark.parametrize("sync", [2, 3, 5])
 @pytest.mark.parametrize("kv", ["native", "int8"])
-def test_window_appends_multi_window_parity(kv, sync):
+def test_window_appends_multi_window_parity(kv, sync, dense_read):
     """Window-buffered appends (r4): budgets spanning several sync windows,
     so flushes hit packed rows mid-row (base % f != 0), cross page
     boundaries, and interleave with finished slots — token streams must
@@ -71,6 +75,7 @@ def test_window_appends_multi_window_parity(kv, sync):
             max_slots=3, page_size=8, num_pages=12, max_pages_per_slot=3,
             max_encode_len=16, encode_buckets=(16,), kv_dtype=kv,
             kernel="chunked", pages_per_item=2, steps_per_sync=sync,
+            dense_read_max=dense_read,
             window_appends=window)).run(mk_requests(n=7, max_new=17))
 
     dense = InferenceEngine(config, params, EngineConfig(

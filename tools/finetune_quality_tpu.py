@@ -6,8 +6,8 @@ the pretrained trunk is produced locally: pretrain the smoke-proxy model on a
 synthetic Markov language (same harness as tools/smoke_pretrain_tpu.py —
 identical production kernels: pallas_rpe attention, fused LN/CE), then
 finetune a sequence-classification head + trunk on a downstream task in the
-same token space — classify which of two Markov languages generated the
-sequence — and measure held-out accuracy with bf16 weights vs INT8/FP8
+same token space — classify which of K overlapping Markov languages
+generated the sequence — and measure held-out accuracy with bf16 weights vs INT8/FP8
 weight-only quantization (per-channel and group-wise g64).
 
 The task is chosen so pretraining genuinely transfers: language A is the
@@ -15,7 +15,7 @@ pretraining corpus's transition table, so the trunk's bigram features are
 directly discriminative.
 
     python tools/finetune_quality_tpu.py [--pretrain-steps 600]
-        [--finetune-steps 200] [--out QUALITY_finetune_r03.json]
+        [--finetune-steps 200] [--classes 4] [--diff-frac 0.12]
 """
 
 import argparse
@@ -48,27 +48,39 @@ def lang_corpus(vocab, n_docs, rng, succ, length=(50, 70)):
     return docs
 
 
-def make_cls_batches(vocab, rng, n, batch, seq_len, eos_id):
-    """Balanced two-language classification batches.
-
-    Language A uses the same transition table as the pretraining corpus
-    (np.random.default_rng(0), matching tools/smoke_pretrain_tpu.py);
-    language B draws a fresh table.
-    """
-    # both tables FIXED (not drawn from the continuing `rng`): language B
-    # must be the same language across the train and eval calls, or eval
-    # measures transfer to an unseen language instead of the learned task
+def make_langs(vocab, n_classes, diff_frac):
+    """Class 0 is the pretraining language (np.random.default_rng(0),
+    matching tools/smoke_pretrain_tpu.py). Classes 1..K-1 are copies of it
+    with only `diff_frac` of transition rows resampled — the languages
+    overlap in (1 - diff_frac) of their bigram structure, so a short
+    document carries only a handful of discriminative transitions and
+    held-out accuracy is evidence-limited instead of saturating at ~1.0
+    (VERDICT r3 #8: the two-fresh-tables task measured every quant delta
+    as exactly 0.000 at 0.9941 accuracy)."""
     succ_a = np.random.default_rng(0).integers(13, vocab - 100,
                                                size=(vocab, 3))
-    succ_b = np.random.default_rng(1).integers(13, vocab - 100,
-                                               size=(vocab, 3))
+    langs = [succ_a]
+    for c in range(1, n_classes):
+        # tables FIXED per class (seeded by class id, not the continuing
+        # rng): each language must be identical across train and eval
+        crng = np.random.default_rng(100 + c)
+        succ = succ_a.copy()
+        rows = crng.random(vocab) < diff_frac
+        succ[rows] = crng.integers(13, vocab - 100, size=(int(rows.sum()), 3))
+        langs.append(succ)
+    return langs
+
+
+def make_cls_batches(vocab, rng, n, batch, seq_len, eos_id, langs,
+                     doc_len=(32, 48)):
+    """Balanced K-language classification batches over `langs` tables."""
     out = []
     for _ in range(n):
         ids = np.zeros((batch, seq_len), np.int32)
         labels = np.zeros((batch,), np.int32)
         for r in range(batch):
-            lab = int(rng.integers(0, 2))
-            doc = lang_corpus(vocab, 1, rng, succ_a if lab == 0 else succ_b)[0]
+            lab = int(rng.integers(0, len(langs)))
+            doc = lang_corpus(vocab, 1, rng, langs[lab], length=doc_len)[0]
             doc = doc[: seq_len - 1]
             ids[r, : len(doc)] = doc
             ids[r, len(doc)] = eos_id
@@ -84,7 +96,12 @@ def main():
     ap.add_argument("--pretrain-steps", type=int, default=1200)
     ap.add_argument("--finetune-steps", type=int, default=600)
     ap.add_argument("--finetune-lr", type=float, default=1e-3)
-    ap.add_argument("--out", default="QUALITY_finetune_r03.json")
+    ap.add_argument("--classes", type=int, default=4)
+    ap.add_argument("--diff-frac", type=float, default=0.3,
+                    help="fraction of transition rows that differ between "
+                         "class 0's language and each other class")
+    ap.add_argument("--doc-len", type=int, nargs=2, default=(32, 48))
+    ap.add_argument("--out", default="QUALITY_finetune_r04.json")
     args = ap.parse_args()
 
     import optax
@@ -133,14 +150,18 @@ def main():
 
     # ---- attach a classification head, finetune trunk+head ---------------
     frng = np.random.default_rng(7)
-    seq_len = 64
+    seq_len = 40
+    n_labels = args.classes
+    langs = make_langs(vocab, n_labels, args.diff_frac)
     train_b = make_cls_batches(vocab, frng, args.finetune_steps, 32, seq_len,
-                               config.eos_token_id)
+                               config.eos_token_id, langs,
+                               doc_len=tuple(args.doc_len))
     eval_b = make_cls_batches(vocab, frng, 16, 32, seq_len,
-                              config.eos_token_id)
+                              config.eos_token_id, langs,
+                              doc_len=tuple(args.doc_len))
 
     params = heads.init_sequence_classification_params(
-        jax.random.PRNGKey(3), config, num_labels=2)
+        jax.random.PRNGKey(3), config, num_labels=n_labels)
     params["shared"] = trainer.params["shared"]
     params["encoder"] = trainer.params["encoder"]
 
@@ -151,7 +172,7 @@ def main():
     def step(params, opt_state, ids, labels):
         def loss_fn(p):
             out = heads.sequence_classification_forward(
-                config, p, ids, labels=labels, num_labels=2)
+                config, p, ids, labels=labels, num_labels=n_labels)
             return out["loss"]
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
@@ -167,7 +188,8 @@ def main():
     # ---- held-out accuracy: bf16 vs quantized variants -------------------
     @jax.jit
     def logits_fn(p, ids):
-        return heads.sequence_classification_forward(config, p, ids)["logits"]
+        return heads.sequence_classification_forward(
+            config, p, ids, num_labels=n_labels)["logits"]
 
     def accuracy(p):
         hits = total = 0
@@ -186,7 +208,9 @@ def main():
 
     payload = {
         "metric": "finetune_accuracy_quant_delta",
-        "task": "two-language Markov classification (pretrained trunk)",
+        "task": (f"{n_labels}-language Markov classification, "
+                 f"diff_frac={args.diff_frac}, doc_len={tuple(args.doc_len)} "
+                 "(pretrained trunk; overlapping languages)"),
         "pretrain_steps": args.pretrain_steps,
         "finetune_steps": args.finetune_steps,
         "eval_examples": 16 * 32,
@@ -203,7 +227,9 @@ def main():
     with open(args.out, "w") as f:
         json.dump(payload, f, indent=2)
         f.write("\n")
-    assert acc["bf16"] > 0.8, "finetune failed to learn the task"
+    assert 0.5 < acc["bf16"] < 0.97, (
+        "task must land in the evidence-limited band (VERDICT r3 #8): "
+        f"bf16={acc['bf16']}")
 
 
 if __name__ == "__main__":

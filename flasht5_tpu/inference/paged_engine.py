@@ -27,7 +27,9 @@ from flasht5_tpu.config import FlashT5Config
 from flasht5_tpu.inference import kv_cache
 from flasht5_tpu.inference.engine import KVTensor, Request, _kv_make, _kv_read
 from flasht5_tpu.inference.paged_kv import (
+    dense_cache_attention,
     dense_small_pool_attention,
+    gather_pool_dense,
     paged_decode_attention_arrays,
     paged_decode_attention_chunked_packed,
     paged_decode_attention_ragged,
@@ -35,6 +37,13 @@ from flasht5_tpu.inference.paged_kv import (
 from flasht5_tpu.models import t5
 from flasht5_tpu.ops.quant import quantize_kv
 from flasht5_tpu.positional import relative_position_bucket
+
+
+def _stage_read(staged_plane):
+    """Dequantize one window-staged (values, scales) cache plane to f32."""
+    vals, scales = staged_plane
+    x = vals.astype(jnp.float32)
+    return x if scales is None else x * scales
 
 
 @dataclasses.dataclass
@@ -55,14 +64,16 @@ class PagedEngineConfig:
     #   "dense"   — (slot, page) grid, flat in occupancy
     kernel: str = "chunked"
     pages_per_item: int = 8           # chunked kernel: pages per work item
-    # Small-pool reader (r4, VERDICT #5): when max_pages_per_slot*page_size
-    # <= dense_read_max tokens, read the committed pages with ONE fused XLA
-    # gather-attention (paged_kv.dense_small_pool_attention) instead of a
-    # Pallas launch per layer per step — the chunked kernel is launch-bound
-    # at a few hundred tokens/slot and only wins at scale. The pool layout,
-    # page table, and tokens-in-flight memory model are identical; only the
-    # reader changes. 0 disables (always use the kernel).
-    dense_read_max: int = 512
+    # Small-pool reader (r4 experiment, default OFF): when
+    # max_pages_per_slot*page_size <= dense_read_max tokens, read committed
+    # pages with one fused XLA gather-attention instead of the chunked
+    # Pallas kernel. MEASURED SLOWER on v5e (docs/paged_step_probe.json,
+    # interleaved median of 7 at 8 slots x 320-token pools, int8: dense-read
+    # window 256.6ms vs kernel 160.9ms vs slot engine 112.5ms): the int8
+    # page gather + dequant + full masked attention materializes more HBM
+    # traffic than the kernel's launch overhead costs. Kept as an opt-in
+    # (parity-tested) for layouts where gathers win; 0 = always the kernel.
+    dense_read_max: int = 0
     # Window-buffered appends (r4, VERDICT #5 "append tax"): within a sync
     # window the new K/V go into a dense (B, H, k, D) side buffer written
     # with a one-hot masked add (the slot engine's cheap scatter); attention
@@ -73,6 +84,17 @@ class PagedEngineConfig:
     # tokens at once) instead of once per step per layer. Only with
     # kernel="chunked".
     window_appends: bool = True
+    # Window-dense staging (r4 experiment, default OFF): gather each
+    # layer's committed pages into a slot-layout (B, H, maxL, D)
+    # int8(+scales) cache once per decode window, then run each step's
+    # committed-prefix attention as plain dense XLA attention. MEASURED
+    # SLOWER than the chunked kernel on v5e at the dense serving settings
+    # (8 slots x 320-token pools, int8): staged window 233ms vs kernel-read
+    # ~215ms chip-normalized, end-to-end 3,920 vs 4,594 tok/s — the
+    # per-step XLA dequant+masked-attention over the staged cache costs
+    # more than the per-layer kernel launches it removes. Kept as a
+    # parity-tested opt-in; 0 disables.
+    window_stage_max_bytes: int = 0
 
 
 class PagedState:
@@ -122,7 +144,12 @@ class PagedState:
                 {"pages_k": page_arrays(), "pages_v": page_arrays(),
                  "cross_k": cross(), "cross_v": cross()}
                 for _ in range(n_layers))
-        self.page_table = jnp.zeros((b, ecfg.max_pages_per_slot), jnp.int32)
+        # HOST-side page table (numpy): the allocator mutates it per
+        # admission; materializing per-page .at[].set device updates costs a
+        # tiny dispatch each through the tunnel (r4 probe: admissions, not
+        # the window fn, carried part of the dense-settings gap). The run
+        # loop ships it once per decode window as a jnp input.
+        self.page_table = np.zeros((b, ecfg.max_pages_per_slot), np.int32)
         self.enc_len = jnp.zeros((b,), jnp.int32)
         self.pos = jnp.zeros((b,), jnp.int32)
         self.cur_token = jnp.zeros((b,), jnp.int32)
@@ -140,7 +167,7 @@ class PagedState:
             page = self._free.pop()
             idx = len(self._owned[slot])
             self._owned[slot].append(page)
-            self.page_table = self.page_table.at[slot, idx].set(page)
+            self.page_table[slot, idx] = page
 
     def release(self, slot: int):
         self._free.extend(self._owned[slot])
@@ -172,6 +199,17 @@ class PagedInferenceEngine:
         return (ecfg.kernel == "chunked" and ecfg.dense_read_max > 0
                 and ecfg.max_pages_per_slot * ecfg.page_size
                 <= ecfg.dense_read_max)
+
+    def _use_window_stage(self) -> bool:
+        """Trace-time choice of the window-staged committed-prefix reader
+        (see window_stage_max_bytes)."""
+        ecfg = self.ecfg
+        maxL = ecfg.max_pages_per_slot * ecfg.page_size
+        itemsize = 1 if ecfg.kv_dtype == "int8" else 2
+        staged = (ecfg.max_slots * self.config.num_heads * maxL
+                  * (self.config.d_kv * itemsize + 4) * 2)
+        return (ecfg.kernel == "chunked" and ecfg.window_appends
+                and 0 < staged <= ecfg.window_stage_max_bytes)
 
     def _encode_fn(self, bucket: int) -> Callable:
         if bucket not in self._encode_fns:
@@ -413,8 +451,8 @@ class PagedInferenceEngine:
         k_win = ecfg.steps_per_sync
         maxL = ecfg.max_pages_per_slot * P
 
-        def step(params, layers, page_table, worklist, base, side, t,
-                 enc_len, pos, cur_token, active, budget):
+        def step(params, layers, page_table, worklist, staged, base, side,
+                 t, enc_len, pos, cur_token, active, budget):
             b = ecfg.max_slots
             h, dkv = config.num_heads, config.d_kv
             emb = params["shared"]["embedding"]
@@ -484,7 +522,13 @@ class PagedInferenceEngine:
                 q32 = q.astype(jnp.float32)
                 pbias = (None if paged_bias is None
                          else paged_bias.astype(jnp.float32))
-                if self._use_dense_read():
+                if staged is not None:
+                    out_p, m_p, l_p = dense_cache_attention(
+                        q32, _stage_read(staged[li][0]),
+                        _stage_read(staged[li][1]), base,
+                        sm_scale=config.softmax_scale, bias=pbias,
+                        return_state=True)
+                elif self._use_dense_read():
                     out_p, m_p, l_p = dense_small_pool_attention(
                         q32, layer["pages_kv"].values,
                         layer["pages_kv"].scales, page_table, base,
@@ -643,7 +687,15 @@ class PagedInferenceEngine:
             h, dkv = config.num_heads, config.d_kv
             base = pos                       # committed tokens, fixed window
             n_pool = layers[0]["pages_kv"].values.shape[0]
-            worklist = (None if self._use_dense_read()
+            staged = None
+            if self._use_window_stage():
+                staged = tuple(
+                    gather_pool_dense(layer["pages_kv"].values,
+                                      layer["pages_kv"].scales, page_table,
+                                      head_dim=config.d_kv, dequant=False)
+                    for layer in layers)
+            worklist = (None
+                        if staged is not None or self._use_dense_read()
                         else build_chunked_worklist(
                             page_table, base, page_size=P,
                             chunk=ecfg.pages_per_item, n_pages=n_pool))
@@ -662,9 +714,9 @@ class PagedInferenceEngine:
                 side, pos, cur_token, active, budget = carry
                 was_active = active
                 (side, pos, cur_token, active, budget, nxt,
-                 finished) = step(params, layers, page_table, worklist, base,
-                                  side, t, enc_len, pos, cur_token, active,
-                                  budget)
+                 finished) = step(params, layers, page_table, worklist,
+                                  staged, base, side, t, enc_len, pos,
+                                  cur_token, active, budget)
                 return ((side, pos, cur_token, active, budget),
                         (nxt, finished, was_active))
 
@@ -717,8 +769,8 @@ class PagedInferenceEngine:
         admit()
         while any(s is not None for s in slots):
             carry, (toks, fins, actives) = self._multi_step_fn(
-                self.params, st.layers, st.page_table, st.enc_len, st.pos,
-                st.cur_token, st.active, st.budget)
+                self.params, st.layers, jnp.asarray(st.page_table),
+                st.enc_len, st.pos, st.cur_token, st.active, st.budget)
             (st.layers, st.enc_len, st.pos, st.cur_token, st.active,
              st.budget) = carry
             toks_h = np.asarray(toks)

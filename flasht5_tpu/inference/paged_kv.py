@@ -655,24 +655,50 @@ def dense_small_pool_attention(q, pages_kv, scales_kv, page_table, lengths, *,
     read a pool that fits a single fused XLA region. Same (out[, m, l]) API
     so the engine swaps readers at trace time; the paged memory model
     (pool + page table, tokens-in-flight footprint) is unchanged."""
-    b, h, d = q.shape
-    n_pages, _, _, pp, d2 = pages_kv.shape
+    kf, vf = gather_pool_dense(pages_kv, scales_kv, page_table,
+                               head_dim=q.shape[-1])
+    return dense_cache_attention(q, kf, vf, lengths, sm_scale=sm_scale,
+                                 bias=bias, return_state=return_state)
+
+
+def gather_pool_dense(pages_kv, scales_kv, page_table, *, head_dim,
+                      dequant=True):
+    """Gather a fused packed page pool into slot-dense (B, H, maxp*P, D)
+    K and V caches (the slot engine's layout). dequant=True returns f32;
+    dequant=False returns ((k_vals, k_scales), (v_vals, v_scales)) in the
+    pool dtype so per-step readers pay int8 bandwidth like the slot
+    engine (the window-staging path)."""
+    n_pages, _, h, pp, d2 = pages_kv.shape
+    d = head_dim
     f = d2 // d
     P = pp * f
-    maxp = page_table.shape[1]
+    b, maxp = page_table.shape
     maxL = maxp * P
     gath = jnp.take(pages_kv, page_table, axis=0)   # (B, maxp, 2, H, pp, fD)
     gath = gath.reshape(b, maxp, 2, h, pp, f, d)
     kv = jnp.transpose(gath, (2, 0, 3, 1, 4, 5, 6)).reshape(2, b, h, maxL, d)
-    kf = kv[0].astype(jnp.float32)
-    vf = kv[1].astype(jnp.float32)
+    sc = None
     if scales_kv is not None:
         # scales[p, plane, j, h*pp + r] scales token r*f + j of head h
         sg = jnp.take(scales_kv, page_table, axis=0)  # (B, maxp, 2, f, h*pp)
         sg = sg.reshape(b, maxp, 2, f, h, pp)
         sc = jnp.transpose(sg, (2, 0, 4, 1, 5, 3)).reshape(2, b, h, maxL, 1)
+    if not dequant:
+        return ((kv[0], None if sc is None else sc[0]),
+                (kv[1], None if sc is None else sc[1]))
+    kf = kv[0].astype(jnp.float32)
+    vf = kv[1].astype(jnp.float32)
+    if sc is not None:
         kf = kf * sc[0]
         vf = vf * sc[1]
+    return kf, vf
+
+
+def dense_cache_attention(q, kf, vf, lengths, *, sm_scale=1.0, bias=None,
+                          return_state=False):
+    """Masked single-query attention over a dense f32 (B, H, maxL, D) cache;
+    same (out[, m, l]) contract as the chunked kernel's return_state."""
+    maxL = kf.shape[2]
     s = jnp.einsum("bhd,bhnd->bhn", q.astype(jnp.float32), kf) * sm_scale
     if bias is not None:
         s = s + bias.astype(jnp.float32)

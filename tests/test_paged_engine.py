@@ -58,10 +58,10 @@ def test_paged_pool_reuse_across_requests():
     assert all(r.result[-1] == config.eos_token_id for r in done)
 
 
-@pytest.mark.parametrize("dense_read", [0, 512])
+@pytest.mark.parametrize("dense_read,stage", [(0, 0), (512, 0), (0, 1 << 25)])
 @pytest.mark.parametrize("sync", [2, 3, 5])
 @pytest.mark.parametrize("kv", ["native", "int8"])
-def test_window_appends_multi_window_parity(kv, sync, dense_read):
+def test_window_appends_multi_window_parity(kv, sync, dense_read, stage):
     """Window-buffered appends (r4): budgets spanning several sync windows,
     so flushes hit packed rows mid-row (base % f != 0), cross page
     boundaries, and interleave with finished slots — token streams must
@@ -75,7 +75,7 @@ def test_window_appends_multi_window_parity(kv, sync, dense_read):
             max_slots=3, page_size=8, num_pages=12, max_pages_per_slot=3,
             max_encode_len=16, encode_buckets=(16,), kv_dtype=kv,
             kernel="chunked", pages_per_item=2, steps_per_sync=sync,
-            dense_read_max=dense_read,
+            dense_read_max=dense_read, window_stage_max_bytes=stage,
             window_appends=window)).run(mk_requests(n=7, max_new=17))
 
     dense = InferenceEngine(config, params, EngineConfig(

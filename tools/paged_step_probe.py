@@ -17,17 +17,11 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def timed(fn, *a, n=5):
-    outs = fn(*a)
-    jax.tree.leaves(outs)[0].block_until_ready()
+def _one(fn):
+    t0 = time.perf_counter()
+    outs = fn()
     _ = float(np.asarray(jax.tree.leaves(outs)[0], np.float32).ravel()[0])
-    ts = []
-    for _ in range(n):
-        t0 = time.perf_counter()
-        outs = fn(*a)
-        _ = float(np.asarray(jax.tree.leaves(outs)[0], np.float32).ravel()[0])
-        ts.append(time.perf_counter() - t0)
-    return sorted(ts)[len(ts) // 2]
+    return time.perf_counter() - t0
 
 
 def main():
@@ -54,7 +48,7 @@ def main():
                                            size=(enc_len,)).astype(np.int32),
                     max_new_tokens=max_new) for i in range(slots)]
 
-    results = {}
+    fns = {}
 
     slot_eng = InferenceEngine(config, params, EngineConfig(
         kv_dtype="int8", max_slots=slots, max_decode_len=max_new + 2,
@@ -62,35 +56,47 @@ def main():
         steps_per_sync=sync))
     slot_eng.run([Request(uid=r.uid, input_ids=r.input_ids,
                           max_new_tokens=max_new) for r in reqs])
-    slot_eng.run([Request(uid=r.uid, input_ids=r.input_ids,
-                          max_new_tokens=max_new) for r in reqs])
-    st = slot_eng.state
+    st_s = slot_eng.state
     rng = jax.random.PRNGKey(0)
-    results["slot_window_ms"] = round(timed(
-        lambda: slot_eng._multi_step_fn(slot_eng.params, st.layers, st.enc_len,
-                                        st.pos, st.cur_token, st.active,
-                                        st.budget, rng)) * 1e3, 2)
+    fns["slot"] = lambda: slot_eng._multi_step_fn(
+        slot_eng.params, st_s.layers, st_s.enc_len, st_s.pos, st_s.cur_token,
+        st_s.active, st_s.budget, rng)
 
-    for wa in (True, False):
+    def paged_variant(tag, **kw):
         eng = PagedInferenceEngine(config, params, PagedEngineConfig(
             max_slots=slots, page_size=page, num_pages=slots * maxp,
             max_pages_per_slot=maxp, max_encode_len=enc_len,
             encode_buckets=(enc_len,), kv_dtype="int8", steps_per_sync=sync,
-            window_appends=wa))
-        eng.run([Request(uid=r.uid, input_ids=r.input_ids,
-                         max_new_tokens=max_new) for r in reqs])
+            **kw))
         eng.run([Request(uid=r.uid, input_ids=r.input_ids,
                          max_new_tokens=max_new) for r in reqs])
         st = eng.state
-        tag = "paged_window_ms" if wa else "paged_window_ms_no_window_appends"
-        results[tag] = round(timed(
-            lambda: eng._multi_step_fn(eng.params, st.layers, st.page_table,
-                                       st.enc_len, st.pos, st.cur_token,
-                                       st.active, st.budget)) * 1e3, 2)
+        fns[tag] = lambda: eng._multi_step_fn(
+            eng.params, st.layers, st.page_table, st.enc_len, st.pos,
+            st.cur_token, st.active, st.budget)
 
+    paged_variant("paged_window_staged")                # r4 default
+    paged_variant("paged_kernel_read", window_stage_max_bytes=0)
+    paged_variant("paged_dense_read", window_stage_max_bytes=0,
+                  dense_read_max=100000)
+    paged_variant("paged_kernel_no_window", window_stage_max_bytes=0,
+                  dense_read_max=0, window_appends=False)
+
+    samples = {t: [] for t in fns}
+    for t, fn in fns.items():
+        _one(fn)                                 # warm every variant first
+    for _ in range(7):                           # interleaved: load drift on
+        for t, fn in fns.items():                # the shared chip hits all
+            samples[t].append(_one(fn))          # variants alike
+    results = {f"{t}_window_ms": round(sorted(s)[len(s) // 2] * 1e3, 2)
+               for t, s in samples.items()}
+    for t, s in samples.items():
+        results[f"{t}_minmax_ms"] = [round(min(s) * 1e3, 2),
+                                     round(max(s) * 1e3, 2)]
     results["note"] = (
         f"one jit'd decode window = {sync} steps at slots={slots}, "
-        f"enc={enc_len}, int8 w+kv, FAT5-small; median of 5; state frozen "
+        f"enc={enc_len}, int8 w+kv, FAT5-small; INTERLEAVED median of 7 "
+        "(shared-chip load drift hits all variants alike); state frozen "
         "mid-generation (committed prefix from a full prior run)")
     print(json.dumps(results), flush=True)
     with open("docs/paged_step_probe.json", "w") as f:

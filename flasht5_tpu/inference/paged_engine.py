@@ -535,12 +535,29 @@ class PagedInferenceEngine:
                         sm_scale=config.softmax_scale, bias=pbias,
                         return_state=True)
                 else:
-                    out_p, m_p, l_p = paged_decode_attention_chunked_packed(
-                        q32, layer["pages_kv"].values,
-                        layer["pages_kv"].scales,
-                        page_table, base, sm_scale=config.softmax_scale,
-                        bias=pbias, chunk=ecfg.pages_per_item,
-                        worklist=worklist, return_state=True)
+                    # skip the kernel entirely when no slot has committed
+                    # tokens — the common case when per-request budgets fit
+                    # one sync window (e.g. XL serving at max_new <= sync):
+                    # every (layer, step) launch would read an empty
+                    # work-list. The empty branch returns the kernel's own
+                    # empty-slot state (out 0, m -inf, l 0), so the side-
+                    # buffer LSE merge is unchanged.
+                    def _kernel_branch(qq):
+                        return paged_decode_attention_chunked_packed(
+                            qq, layer["pages_kv"].values,
+                            layer["pages_kv"].scales,
+                            page_table, base, sm_scale=config.softmax_scale,
+                            bias=pbias, chunk=ecfg.pages_per_item,
+                            worklist=worklist, return_state=True)
+
+                    def _empty_branch(qq):
+                        return (jnp.zeros((b, h, dkv), jnp.float32),
+                                jnp.full((b, h), -1e30, jnp.float32),
+                                jnp.zeros((b, h), jnp.float32))
+
+                    out_p, m_p, l_p = jax.lax.cond(
+                        jnp.max(base) > 0, _kernel_branch, _empty_branch,
+                        q32)
 
                 skf = side_k.values.astype(jnp.float32)
                 svf = side_v.values.astype(jnp.float32)

@@ -59,6 +59,21 @@ def main():
                          "(chunked packed kernel)")
     ap.add_argument("--page_size", type=int, default=64)
     ap.add_argument("--pages_per_item", type=int, default=8)
+    ap.add_argument("--varied_new", default=None,
+                    help="lo,hi: draw each request's max_new uniform in "
+                         "[lo,hi] instead of a fixed --max_new")
+    ap.add_argument("--tail", default=None,
+                    help="p,lo,hi: with probability p a request instead "
+                         "draws max_new from [lo,hi] (heavy-tailed budgets)")
+    ap.add_argument("--budget", type=int, default=None,
+                    help="largest decode budget any request may carry; the "
+                         "slot engine provisions max_decode_len=budget per "
+                         "slot, the paged engine allocates pages on demand "
+                         "(defaults to the largest drawable max_new)")
+    ap.add_argument("--num_pages", type=int, default=None,
+                    help="paged: shared pool size (default worst-case "
+                         "slots*max_pages_per_slot; set lower to "
+                         "oversubscribe — admission defers when exhausted)")
     ap.add_argument("--arrival_gap_ms", type=float, default=20.0)
     ap.add_argument("--repeats", type=int, default=3,
                     help="timed engine.run repetitions; the row reports the "
@@ -80,7 +95,10 @@ def main():
     else:
         from __graft_entry__ import _flagship_config
         config = _flagship_config(tiny=not on_tpu).replace(dropout_rate=0.0)
-    params = jax.jit(lambda r: t5.init_params(r, config))(jax.random.PRNGKey(0))
+
+    def init_master():
+        return jax.jit(lambda r: t5.init_params(r, config))(
+            jax.random.PRNGKey(0))
 
     n_req = args.n_req or (32 if on_tpu else 6)
     enc_len, max_new = (512, 64) if on_tpu else (16, 8)
@@ -89,27 +107,45 @@ def main():
     if args.max_new:
         max_new = args.max_new
     slots = args.slots or (8 if on_tpu else 3)
+    # per-request decode budgets: fixed max_new, or drawn uniform from
+    # --varied_new lo,hi with an optional heavy tail --tail p,lo,hi
+    # (e.g. "most outputs are short; any may run to the cap" serving traffic)
+    varied = (tuple(int(x) for x in args.varied_new.split(","))
+              if args.varied_new else None)
+    tail = (tuple(float(x) for x in args.tail.split(","))
+            if args.tail else None)
+    budget = args.budget or (max(v for v in (varied or (max_new,)))
+                             if not tail else int(tail[2]))
     rng = np.random.default_rng(0)
+
+    def draw_new(r):
+        if varied is None:
+            return max_new
+        if tail and r.random() < tail[0]:
+            return int(r.integers(int(tail[1]), int(tail[2]) + 1))
+        return int(r.integers(varied[0], varied[1] + 1))
 
     def mk_reqs(arrival_gap_s=0.0):
         return [
             Request(uid=i,
                     input_ids=rng.integers(2, config.vocab_size,
                                            size=(enc_len,)).astype(np.int32),
-                    max_new_tokens=max_new,
+                    max_new_tokens=draw_new(rng),
                     arrival_s=i * arrival_gap_s)
             for i in range(n_req)
         ]
 
-    ecfg_base = dict(max_slots=slots, max_decode_len=max_new + 2,
+    # the slot engine must provision EVERY slot at the largest budget any
+    # request may carry; the paged engine provisions pages per request
+    ecfg_base = dict(max_slots=slots, max_decode_len=budget + 2,
                      max_encode_len=enc_len, encode_buckets=(enc_len,),
                      steps_per_sync=args.steps_per_sync)
 
     all_modes = [
-        ("bf16", lambda: params, "native", False),
-        ("int8_weights", lambda: quantize_params(params), "native", False),
-        ("int8_weights_kv", lambda: quantize_params(params), "int8", False),
-        ("int8_wkv_fused_kernel", lambda: quantize_params(params), "int8", True),
+        ("bf16", lambda m: m, "native", False),
+        ("int8_weights", quantize_params, "native", False),
+        ("int8_weights_kv", quantize_params, "int8", False),
+        ("int8_wkv_fused_kernel", quantize_params, "int8", True),
     ]
     if args.modes:
         wanted = set(args.modes.split(","))
@@ -117,14 +153,27 @@ def main():
 
     results = []
     for tag, mk_p, kv, kern in all_modes:
-        p = mk_p()
+        master = init_master()
+        p = mk_p(master)
+        if p is not master:
+            # a real int8 deployment holds only the quantized weights; the
+            # bf16 master (2x the int8 bytes) must not sit in HBM skewing
+            # every capacity ceiling this harness measures. Quantization
+            # passes unquantized leaves (norms, embedding) through by
+            # reference — free only the leaves it replaced.
+            kept = {id(x) for x in jax.tree_util.tree_leaves(p)}
+            for leaf in jax.tree_util.tree_leaves(master):
+                if id(leaf) not in kept:
+                    leaf.delete()
+        del master
         if args.engine == "paged":
             from flasht5_tpu.inference.paged_engine import (
                 PagedEngineConfig, PagedInferenceEngine)
-            maxp = -(-(max_new + 2) // args.page_size)
+            maxp = -(-(budget + 2) // args.page_size)
             engine = PagedInferenceEngine(config, p, PagedEngineConfig(
                 max_slots=slots, page_size=args.page_size,
-                num_pages=slots * maxp, max_pages_per_slot=maxp,
+                num_pages=args.num_pages or slots * maxp,
+                max_pages_per_slot=maxp,
                 max_encode_len=enc_len, encode_buckets=(enc_len,),
                 kv_dtype=kv, steps_per_sync=args.steps_per_sync,
                 pages_per_item=args.pages_per_item))
@@ -191,7 +240,10 @@ def main():
             "requests": n_req,
             "slots": slots,
             "enc_len": enc_len,
-            "max_new": max_new,
+            "max_new": (f"U[{varied[0]},{varied[1]}]"
+                        + (f"+tail{args.tail}" if tail else "")
+                        if varied else max_new),
+            "budget": budget,
             "steps_per_sync": args.steps_per_sync,
             "model": args.config or "fat5-small",
             "hbm_weights_gib": round(hbm["weights_bytes"] / 2**30, 3),

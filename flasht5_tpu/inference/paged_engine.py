@@ -106,8 +106,13 @@ class PagedState:
         b = ecfg.max_slots
 
         def page_arrays():
-            vals = jnp.zeros((ecfg.num_pages, h, ecfg.page_size, dkv), dt)
-            scales = (jnp.zeros((ecfg.num_pages, h, ecfg.page_size, 1),
+            # +1 TRASH page (index num_pages, never allocated): inactive
+            # slots' per-step appends are routed there, so a released slot
+            # can never write into pages the allocator has handed to
+            # another slot
+            vals = jnp.zeros((ecfg.num_pages + 1, h, ecfg.page_size, dkv),
+                             dt)
+            scales = (jnp.zeros((ecfg.num_pages + 1, h, ecfg.page_size, 1),
                                 jnp.float32) if quant else None)
             return KVTensor(vals, scales)
 
@@ -117,10 +122,11 @@ class PagedState:
             # +1 TRASH page (index num_pages, never allocated): the window
             # flush is a masked batched scatter and rows with no valid lanes
             # are redirected there, so duplicate masked writes never race a
-            # real page
+            # real page; the per-step append path routes inactive slots'
+            # writes there for the same reason
             from flasht5_tpu.inference.paged_kv import kv_packing_factor
             f = kv_packing_factor(dkv, ecfg.page_size)
-            n = ecfg.num_pages + (1 if ecfg.window_appends else 0)
+            n = ecfg.num_pages + 1
             vals = jnp.zeros(
                 (n, 2, h, ecfg.page_size // f, f * dkv), dt)
             scales = (jnp.zeros(
@@ -160,6 +166,10 @@ class PagedState:
         self._owned: List[List[int]] = [[] for _ in range(b)]
 
     # -- host allocator --
+    def can_allocate(self, slot: int, tokens: int, page_size: int) -> bool:
+        need = -(-tokens // page_size) - len(self._owned[slot])
+        return need <= len(self._free)
+
     def ensure_capacity(self, slot: int, tokens: int, page_size: int):
         while len(self._owned[slot]) * page_size < tokens:
             if not self._free:
@@ -282,7 +292,10 @@ class PagedInferenceEngine:
             slot_ids = jnp.arange(b)
             page_idx = pos // P
             offset = pos % P
-            pids = page_table[slot_ids, page_idx]
+            # inactive slots write to the trash page (index num_pages):
+            # their table rows may reference pages already re-allocated
+            pids = jnp.where(active, page_table[slot_ids, page_idx],
+                             ecfg.num_pages)
             cpos = jnp.arange(ecfg.max_encode_len, dtype=jnp.int32)
             cross_valid = cpos[None, :] < enc_len[:, None]
 
@@ -762,10 +775,28 @@ class PagedInferenceEngine:
         P = self.ecfg.page_size
 
         def admit():
+            # free every finished slot's pages BEFORE fitting new requests,
+            # so an oversubscribed pool never strands pages on empty slots
+            for i in range(self.ecfg.max_slots):
+                if slots[i] is None:
+                    st.release(i)
             for i in range(self.ecfg.max_slots):
                 if slots[i] is None and queue:
-                    req = queue.pop(0)
-                    st.release(i)
+                    req = queue[0]
+                    # oversubscribed pool (num_pages < slots*max_pages_per
+                    # _slot): a request whose budget doesn't fit right now
+                    # stays queued and retries after the next harvest frees
+                    # pages — admission control, not a crash
+                    want = min(req.max_new_tokens,
+                               self.ecfg.max_pages_per_slot * P - 1) + 1
+                    if not st.can_allocate(i, want, P):
+                        if not any(s is not None for s in slots):
+                            raise RuntimeError(
+                                "request %r needs %d tokens of KV but the "
+                                "whole pool is %d pages x %d" %
+                                (req.uid, want, self.ecfg.num_pages, P))
+                        break
+                    queue.pop(0)
                     L = min(len(req.input_ids), self.ecfg.max_encode_len)
                     bucket = self._bucket_for(L)
                     padded = np.zeros((1, bucket), np.int32)

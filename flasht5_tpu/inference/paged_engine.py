@@ -501,8 +501,6 @@ class PagedInferenceEngine:
                     jnp.take(pe["relative_attention_bias"], bk_s[0], axis=0),
                     (1, 0))[None]                             # (1, H, k)
 
-            tsel = (jnp.arange(k_win, dtype=jnp.int32) == t)[None, None, :,
-                                                             None]
             smask = (jnp.arange(k_win, dtype=jnp.int32)[None, None, :]
                      <= t)                                    # (1, 1, k)
 
@@ -518,15 +516,22 @@ class PagedInferenceEngine:
                 v_new = kv_cache._proj_heads(normed, sa["Wv"], h, dkv)[:, :, 0]
 
                 def side_append(kv: KVTensor, new):
+                    # in-place dynamic_update_slice at column t (t is the
+                    # same traced scalar for every slot): O(slice) traffic
+                    # and XLA aliases the scan carry, vs the full-buffer
+                    # read-add-write a masked add would cost per layer-step
+                    at = (0, 0, t, 0)
                     if quant:
                         nq, ns = quantize_kv(new)          # (B,H,D),(B,H,1)
-                        vals = kv.values + jnp.where(
-                            tsel, nq[:, :, None, :].astype(kv.values.dtype), 0)
-                        scales = kv.scales + jnp.where(
-                            tsel[..., :1], ns[:, :, None, :], 0.0)
+                        vals = jax.lax.dynamic_update_slice(
+                            kv.values, nq[:, :, None, :].astype(
+                                kv.values.dtype), at)
+                        scales = jax.lax.dynamic_update_slice(
+                            kv.scales, ns[:, :, None, :], at)
                         return KVTensor(vals, scales)
-                    vals = kv.values + jnp.where(
-                        tsel, new[:, :, None, :].astype(kv.values.dtype), 0)
+                    vals = jax.lax.dynamic_update_slice(
+                        kv.values, new[:, :, None, :].astype(kv.values.dtype),
+                        at)
                     return KVTensor(vals, None)
 
                 side_k = side_append(side_k, k_new)

@@ -146,8 +146,14 @@ class InferenceEngine:
         self.state = BatchState(config, params, ecfg)
         self._encode_fns: Dict[int, Callable] = {}
         self._step_fn = jax.jit(self._make_step())
-        self._multi_step_fn = jax.jit(self._make_multi_step())
-        self._insert_fn = jax.jit(self._make_insert())
+        # donate the engine state (KV pools dominate serving HBM): without
+        # donation XLA holds input AND output copies of the caches across
+        # every window call, doubling peak memory at exactly the slot
+        # counts where capacity is the product
+        self._multi_step_fn = jax.jit(self._make_multi_step(),
+                                      donate_argnums=(1, 2, 3, 4, 5, 6, 7))
+        self._insert_fn = jax.jit(self._make_insert(),
+                                  donate_argnums=(0, 1, 2, 3, 4, 5))
         self._sample_rng = jax.random.PRNGKey(ecfg.sample_seed)
 
     # -- prefill -----------------------------------------------------------
@@ -458,11 +464,15 @@ class InferenceEngine:
             while True:
                 fn = self._encode_fn(bucket, nb)
                 cross = fn(self.params, jnp.zeros((nb, bucket), jnp.int32))
-                # compile the per-nb insert variant too (functional: discard
-                # the returned state, self.state is untouched)
+                # compile the per-nb insert variant too. The state buffers
+                # are DONATED, so the warm insert's outputs must replace
+                # self.state (the fake slot-0 request is overwritten by the
+                # first real admission)
                 out = self._insert_fn(st.layers, st.enc_len, st.pos,
                                       st.cur_token, st.active, st.budget,
                                       cross, 0, 0, bucket, 1)
+                (st.layers, st.enc_len, st.pos, st.cur_token, st.active,
+                 st.budget) = out
                 jax.block_until_ready(jax.tree_util.tree_leaves(out)[0])
                 if nb >= self._prefill_batch(self.ecfg.max_slots):
                     break
@@ -471,8 +481,13 @@ class InferenceEngine:
         self._sample_rng, sub = jax.random.split(self._sample_rng)
         out = self._multi_step_fn(self.params, st.layers, st.enc_len, st.pos,
                                   st.cur_token, st.active, st.budget, sub)
+        (st.layers, st.enc_len, st.pos, st.cur_token, st.active,
+         st.budget) = out[0]
+        self._sample_rng = out[1]
         np.asarray(out[2])  # force completion (block_until_ready can be a
         # dispatch-only no-op on tunneled backends)
+        # park the warmup's fake request so the next run starts quiescent
+        st.active = jnp.zeros_like(st.active)
 
     def admit_request(self, req: Request, slot: int) -> None:
         """Prefill + insert one request into `slot` without running the

@@ -193,8 +193,15 @@ class PagedInferenceEngine:
         self.ecfg = ecfg
         self.state = PagedState(config, params, ecfg)
         self._encode_fns: Dict[int, Callable] = {}
-        self._multi_step_fn = jax.jit(self._make_multi_step())
-        self._insert_fn = jax.jit(self._make_insert())
+        # donate the page pool + slot state: without donation XLA holds
+        # input and output copies of the multi-GiB pools across every
+        # window call, doubling peak HBM right where pool capacity is the
+        # engine's selling point (page_table ships fresh each window and
+        # params are read-only — neither is donated)
+        self._multi_step_fn = jax.jit(self._make_multi_step(),
+                                      donate_argnums=(1, 3, 4, 5, 6, 7))
+        self._insert_fn = jax.jit(self._make_insert(),
+                                  donate_argnums=(0, 1, 2, 3, 4, 5))
 
     def _bucket_for(self, length: int) -> int:
         for b in self.ecfg.encode_buckets:

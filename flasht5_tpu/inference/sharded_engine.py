@@ -104,8 +104,12 @@ class ShardedEngine(InferenceEngine):
             for cache in state.layers)
         self._state_specs = (self._layers_spec,) + (_SLOT_SPEC,) * 5
 
-        self._multi_step_fn = jax.jit(self._shard_multi_step())
-        self._insert_fn = jax.jit(self._shard_insert())
+        # same state donation as the parent engine: sharded KV pools are
+        # per-device slices of the same multi-GiB buffers
+        self._multi_step_fn = jax.jit(self._shard_multi_step(),
+                                      donate_argnums=(1, 2, 3, 4, 5, 6, 7))
+        self._insert_fn = jax.jit(self._shard_insert(),
+                                  donate_argnums=(0, 1, 2, 3, 4, 5))
         self._sample_rng = jax.random.PRNGKey(ecfg.sample_seed)
 
     # -- prefill -------------------------------------------------------

@@ -58,7 +58,10 @@ def main():
                           max_new_tokens=max_new) for r in reqs])
     st_s = slot_eng.state
     rng = jax.random.PRNGKey(0)
-    fns["slot"] = lambda: slot_eng._multi_step_fn(
+    # the engines' own jits DONATE the state buffers; the probe replays a
+    # frozen state many times, so re-jit the window fns without donation
+    slot_multi = jax.jit(slot_eng._make_multi_step())
+    fns["slot"] = lambda: slot_multi(
         slot_eng.params, st_s.layers, st_s.enc_len, st_s.pos, st_s.cur_token,
         st_s.active, st_s.budget, rng)
 
@@ -71,7 +74,8 @@ def main():
         eng.run([Request(uid=r.uid, input_ids=r.input_ids,
                          max_new_tokens=max_new) for r in reqs])
         st = eng.state
-        fns[tag] = lambda: eng._multi_step_fn(
+        multi = jax.jit(eng._make_multi_step())
+        fns[tag] = lambda: multi(
             eng.params, st.layers, st.page_table, st.enc_len, st.pos,
             st.cur_token, st.active, st.budget)
 

@@ -26,7 +26,15 @@ from flasht5_tpu.quantize import count_group_fallbacks, quantize_params
 
 
 def eval_ppl(config, params, batches):
-    """Teacher-forced perplexity over (input_ids, labels) batches."""
+    """Teacher-forced perplexity over (input_ids, labels) batches.
+
+    Forward-only scoring is where the fused lm_head+CE kernel wins (11%
+    measured fwd-only, tools/flce_probe.py r4) — unlike training, there is
+    no backward logits-recompute to pay for — so enable it here on TPU.
+    (t5.forward falls back to the unfused path automatically when the
+    lm_head leaf is quantized or embeddings are tied.)"""
+    if jax.default_backend() == "tpu":
+        config = config.replace(use_fused_lm_head_ce=True)
     fwd = jax.jit(lambda p, i, l: t5.forward(config, p, input_ids=i,
                                              labels=l)["loss"])
     losses = [float(fwd(params, jnp.asarray(i), jnp.asarray(l)))

@@ -64,7 +64,13 @@ def main():
                          "[lo,hi] instead of a fixed --max_new")
     ap.add_argument("--tail", default=None,
                     help="p,lo,hi: with probability p a request instead "
-                         "draws max_new from [lo,hi] (heavy-tailed budgets)")
+                         "draws max_new from [lo,hi] (heavy-tailed budgets); "
+                         "applies on top of --varied_new or a fixed --max_new")
+    ap.add_argument("--mesh", default=None,
+                    help="data,tensor: run the mesh-sharded ShardedEngine on "
+                         "a (data, tensor) device mesh instead of the plain "
+                         "slot engine; '1,1' is the single-device "
+                         "no-regression gate (sharded_engine.py docstring)")
     ap.add_argument("--budget", type=int, default=None,
                     help="largest decode budget any request may carry; the "
                          "slot engine provisions max_decode_len=budget per "
@@ -114,15 +120,21 @@ def main():
               if args.varied_new else None)
     tail = (tuple(float(x) for x in args.tail.split(","))
             if args.tail else None)
-    budget = args.budget or (max(v for v in (varied or (max_new,)))
-                             if not tail else int(tail[2]))
+    # the slot/paged engines must provision for the LARGEST budget any
+    # request may draw, whichever distribution it came from
+    _cands = list(varied) if varied else [max_new]
+    if tail:
+        _cands.append(int(tail[2]))
+    budget = args.budget or max(_cands)
     rng = np.random.default_rng(0)
 
     def draw_new(r):
-        if varied is None:
-            return max_new
+        # tail applies on top of either distribution (a --tail-only run is
+        # "mostly fixed max_new, occasionally a long one")
         if tail and r.random() < tail[0]:
             return int(r.integers(int(tail[1]), int(tail[2]) + 1))
+        if varied is None:
+            return max_new
         return int(r.integers(varied[0], varied[1] + 1))
 
     def mk_reqs(arrival_gap_s=0.0):
@@ -178,6 +190,16 @@ def main():
                 kv_dtype=kv, steps_per_sync=args.steps_per_sync,
                 pages_per_item=args.pages_per_item))
             tag = f"{tag}_paged"
+        elif args.mesh:
+            from flasht5_tpu.inference.sharded_engine import (
+                ShardedEngine, make_serving_mesh)
+            dshape, tshape = (int(x) for x in args.mesh.split(","))
+            engine = ShardedEngine(
+                config, p,
+                EngineConfig(kv_dtype=kv, use_decode_kernel=kern,
+                             **ecfg_base),
+                make_serving_mesh(data=dshape, tensor=tshape))
+            tag = f"{tag}_mesh{dshape}x{tshape}"
         else:
             engine = InferenceEngine(config, p,
                                      EngineConfig(kv_dtype=kv,
@@ -240,9 +262,10 @@ def main():
             "requests": n_req,
             "slots": slots,
             "enc_len": enc_len,
-            "max_new": (f"U[{varied[0]},{varied[1]}]"
+            "max_new": ((f"U[{varied[0]},{varied[1]}]" if varied
+                         else str(max_new))
                         + (f"+tail{args.tail}" if tail else "")
-                        if varied else max_new),
+                        if (varied or tail) else max_new),
             "budget": budget,
             "steps_per_sync": args.steps_per_sync,
             "model": args.config or "fat5-small",

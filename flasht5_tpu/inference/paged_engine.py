@@ -180,8 +180,18 @@ class PagedState:
             self.page_table[slot, idx] = page
 
     def release(self, slot: int):
+        if not self._owned[slot]:
+            return
         self._free.extend(self._owned[slot])
         self._owned[slot] = []
+        # zero the freed slot's committed-token count: the window step's
+        # empty-pool kernel skip gates on max(pos-at-window-start) > 0, and
+        # a finished slot's stale pos would disarm it for the rest of the
+        # process the moment any request completes. One tiny device update
+        # per request lifetime (guarded above so the every-admission sweep
+        # over long-empty slots costs nothing).
+        # (index as an array: one cached executable for all slot ids)
+        self.pos = self.pos.at[jnp.asarray(slot, jnp.int32)].set(0)
 
 
 class PagedInferenceEngine:

@@ -422,8 +422,9 @@ def _attention(
         # Measured SLOWER on v5e at M=256 (113.8k vs 119.5k tok/s full-step
         # A/B): XLA saves the (B,H,M,N) probabilities for backward, and that
         # HBM round-trip costs more than the Pallas launches it removes.
-        # Masking semantics are applied after this dispatch (see the
-        # use_masking block below), identically for both branches.
+        want_masking = (config.use_masking and mask is not None
+                        and mask.ndim == 2 and key_value_states is None)
+        masked_in_bias = False
         if m <= int(_os.environ.get("FLASHT5_SMALL_ATTN_M", "0")):
             small_bias = None
             if table is not None:
@@ -433,6 +434,16 @@ def _attention(
                     num_buckets=config.relative_attention_num_buckets,
                     max_distance=config.relative_attention_max_distance,
                     dtype=jnp.float32)
+            if want_masking and small_bias is not None:
+                # with the bias materialized, use_masking can take the
+                # reference's exact form — the (B, 1, N, 1) query-row fold
+                # (modeling:266-270) — which makes this branch
+                # gradient-exact too, unlike the kernel branch's post-hoc
+                # select below (tests/test_model_forward.py pins both).
+                mm = mask[:, None, :, None].astype(bool)      # (B, 1, N, 1)
+                small_bias = jnp.where(mm, small_bias,
+                                       jnp.finfo(small_bias.dtype).min)
+                masked_in_bias = True
             out = attn_ref(qt, kt, vt, small_bias, sm_scale=scale,
                            causal=is_causal)
         else:
@@ -441,8 +452,7 @@ def _attention(
                 causal=is_causal, sm_scale=scale, bidirectional=bidirectional,
                 num_buckets=config.relative_attention_num_buckets,
                 max_distance=config.relative_attention_max_distance)
-        if (config.use_masking and mask is not None and mask.ndim == 2
-                and key_value_states is None):
+        if want_masking and not masked_in_bias:
             # use_masking parity for the in-kernel-bias path. The reference
             # folds a (B, N) padding mask into the bias as (B, 1, N, 1)
             # (modeling:266-270), masking QUERY ROWS: every logit in a masked
@@ -450,9 +460,20 @@ def _attention(
             # uniform (1/N per key; 1/(row+1) under the causal -inf). The
             # reference's own fa2_rpe backend cannot mask at all; here the
             # semantics are reproduced outside the kernel by selecting the
-            # (causal-running-)mean of V for masked rows — identical forward
-            # values, gradient flows through V only (the reference's
-            # score-path gradient at absorbed logits is numerically void).
+            # (causal-running-)mean of V for masked rows. Parity is
+            # FORWARD-EXACT (golden-pinned); per layer the gradients are
+            # exact through V, o and the bucket table (masked rows' dout is
+            # zeroed by the select, so the kernel backward contributes
+            # exactly the reference's zero dW there, and the uniform-mean dV
+            # equals the reference's), but the masked rows' q/k score-path
+            # gradient is zeroed where the reference propagates the (tiny,
+            # padding-row) uniform-softmax one — and in multi-layer stacks
+            # that difference spreads to lower layers through dk/dx. So:
+            # training with use_masking=True on this branch is forward-
+            # equivalent but NOT gradient-identical to the reference
+            # (tests/test_model_forward.py::test_masked_pallas_rpe_grads
+            # pins exactly which leaves match on a 1-layer model).
+            # The small-M branch above IS reference-exact for gradients.
             # Cross-attention is exempt, as in the reference (bias is None
             # there, so the fold never happens).
             if is_causal:

@@ -40,23 +40,38 @@ def tp_stat_axes(params):
         param_pspecs(params))
 
 
-def _sync_grad(g, spec: P):
+def _sync_grad(g, spec: P, comm_dtype=None):
     """Gradient synchronization: MEAN over "data" (data parallelism) and,
     for parameters replicated across tensor shards (norms, embeddings),
-    SUM over "tensor" — each shard holds a partial contribution."""
+    SUM over "tensor" — each shard holds a partial contribution.
+
+    `comm_dtype` (e.g. jnp.bfloat16) down-casts the gradient for the
+    all-reduce and restores the original dtype after: the AOT v5e schedule
+    (docs/hlo_overlap.json) all-reduces 587MB of f32 gradients per step
+    with an exposed ~134MB lm_head/embedding tail — bf16 halves every
+    bucket including that tail. Opt-in (default exact f32): the mean of
+    bf16-rounded per-shard gradients differs from the f32 mean in the last
+    ~8 mantissa bits."""
+    out_dtype = g.dtype
+    if comm_dtype is not None and g.dtype != comm_dtype:
+        g = g.astype(comm_dtype)
     g = jax.lax.pmean(g, "data")
     if "tensor" not in {a for a in spec if a is not None}:
         g = jax.lax.psum(g, "tensor")
-    return g
+    return g.astype(out_dtype)
 
 
-def make_tp_train_step(config: FlashT5Config, mesh: Mesh, tx) -> Callable:
+def make_tp_train_step(config: FlashT5Config, mesh: Mesh, tx,
+                       allreduce_dtype=None) -> Callable:
     """Build a jitted (params, opt_state, batch, rng) -> (params, opt, metrics)
     step running under shard_map with explicit collectives.
 
     `params`/`opt_state` must be device_put with the param_shardings layout;
     batch["input_ids"]/["labels"] are sharded over "data".
+    `allreduce_dtype="bfloat16"` halves gradient-sync bytes (see _sync_grad).
     """
+    comm_dtype = (jnp.dtype(allreduce_dtype) if allreduce_dtype is not None
+                  else None)
     tp_config = config.replace(tp_axis="tensor")
 
     abstract = jax.eval_shape(lambda r: t5.init_params(r, config),
@@ -112,7 +127,9 @@ def make_tp_train_step(config: FlashT5Config, mesh: Mesh, tx) -> Callable:
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
         loss = jax.lax.pmean(loss * tsz, "data")
-        grads = jax.tree.map(_sync_grad, grads, pspecs)
+        grads = jax.tree.map(
+            functools.partial(_sync_grad, comm_dtype=comm_dtype),
+            grads, pspecs)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         gnorm = optax.global_norm(grads)  # local-shard norm (diagnostic)

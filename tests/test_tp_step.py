@@ -98,6 +98,34 @@ def test_tp_params_match_single_device_after_steps():
     np.testing.assert_allclose(tp_ln, ref_ln, rtol=1e-4, atol=1e-5)
 
 
+def test_tp_bf16_grad_allreduce_close_to_f32():
+    """allreduce_dtype="bfloat16" halves gradient-sync bytes (the exposed
+    lm_head/embedding all-reduce tail, docs/hlo_overlap.json); the rounded
+    mean must track the exact-f32 step closely but not bit-exactly."""
+    config = tiny_config()
+    mesh = make_mesh(4, 2)
+    tx = adamw_scale(1e-2, mask=no_decay_mask, stat_axes=tp_stat_axes)
+    params_a, opt_a = tp_train_state(config, mesh, tx)
+    params_b, opt_b = tp_train_state(config, mesh, tx)
+    step_f32 = make_tp_train_step(config, mesh, tx)
+    step_bf16 = make_tp_train_step(config, mesh, tx,
+                                   allreduce_dtype="bfloat16")
+    losses_a, losses_b = [], []
+    for s in range(4):
+        batch, _, _ = _batch(mesh, seed=s)
+        params_a, opt_a, ma = step_f32(params_a, opt_a, batch, None)
+        params_b, opt_b, mb = step_bf16(params_b, opt_b, batch, None)
+        losses_a.append(float(ma["loss"]))
+        losses_b.append(float(mb["loss"]))
+    # same trajectory to bf16-rounding tolerance; training still converges
+    np.testing.assert_allclose(losses_b, losses_a, rtol=2e-3, atol=2e-3)
+    assert losses_b[-1] < losses_b[0]
+    # params stay close leafwise
+    wa = np.asarray(params_a["encoder"]["final_layer_norm"]["weight"])
+    wb = np.asarray(params_b["encoder"]["final_layer_norm"]["weight"])
+    np.testing.assert_allclose(wb, wa, rtol=5e-3, atol=5e-3)
+
+
 def test_tp_with_label_smoothing_and_ignore():
     config = tiny_config(label_smoothing=0.1, z_loss=1e-4)
     mesh = make_mesh(2, 4)

@@ -36,10 +36,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def build_compiled(topology: str):
+def build_compiled(topology: str, allreduce_dtype=None):
     """AOT-compile the production shard_map DP train step (the same
     make_tp_train_step the dryrun and scaling harness run, data=8 tensor=1,
-    Pallas attention + fused CE) for the target TPU topology."""
+    Pallas attention + fused CE) for the target TPU topology.
+
+    allreduce_dtype="bfloat16" compiles the halved-bytes gradient-sync
+    variant (parallel/tp_step.py) so its bucket sizes can be verified."""
     import jax
     import jax.numpy as jnp
     from jax.experimental import topologies
@@ -86,7 +89,8 @@ def build_compiled(topology: str):
         "labels": jax.ShapeDtypeStruct((batch, dec), jnp.int32, sharding=bsh),
     }
 
-    step = make_tp_train_step(config, mesh, tx)
+    step = make_tp_train_step(config, mesh, tx,
+                              allreduce_dtype=allreduce_dtype)
     return step.lower(p_in, o_in, b_in, None).compile()
 
 
@@ -162,12 +166,30 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--topology", default="v5e:2x4")
     ap.add_argument("--out", default="docs/hlo_overlap.json")
+    ap.add_argument("--allreduce-dtype", default=None,
+                    help="bfloat16: compile the halved-bytes grad-sync "
+                         "variant (tp_step allreduce_dtype) and verify its "
+                         "bucket bytes/schedule")
+    ap.add_argument("--combine-threshold-mb", type=int, default=None,
+                    help="override --xla_all_reduce_combine_threshold_bytes "
+                         "(smaller buckets = finer scheduler interleave; "
+                         "experiment for the exposed lm_head/embedding tail)")
     args = ap.parse_args()
 
-    compiled = build_compiled(args.topology)
+    if args.combine_threshold_mb is not None:
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "")
+            + " --xla_all_reduce_combine_threshold_bytes="
+            + str(args.combine_threshold_mb * 2**20))
+
+    compiled = build_compiled(args.topology, args.allreduce_dtype)
     text = compiled.as_text()
     summary = analyze(text)
     summary["topology"] = args.topology
+    if args.allreduce_dtype:
+        summary["allreduce_dtype"] = args.allreduce_dtype
+    if args.combine_threshold_mb is not None:
+        summary["combine_threshold_mb"] = args.combine_threshold_mb
     gaps = summary["compute_ops_between_consecutive_buckets"]
     # Verified iff: the gradient reduce is bucketed (not one barrier at the
     # end), every bucket is a software-pipelined ring with a scheduler-placed
@@ -190,9 +212,13 @@ def main():
     print(json.dumps({k: v for k, v in summary.items() if k != "buckets"},
                      indent=2))
 
-    # stamp the scaling model
+    # stamp the scaling model (canonical runs only — experiment variants
+    # write their own --out and must not overwrite the production evidence)
     model_path = "docs/scaling_model.json"
-    if os.path.exists(model_path):
+    if (args.allreduce_dtype or args.combine_threshold_mb is not None
+            or args.out != "docs/hlo_overlap.json"):
+        model_path = ""
+    if model_path and os.path.exists(model_path):
         with open(model_path) as f:
             model = json.load(f)
         model["overlap_verified"] = summary["overlap_verified"]
@@ -205,11 +231,9 @@ def main():
             "note": ("TPU overlap = bucketed tuple all-reduces interleaved "
                      "with backward compute in the scheduled module (no "
                      "start/done pairs on this backend); each bucket uses "
-                     "a software-pipelined ring emitter. NOTE the actual "
-                     "executable all-reduces f32 gradients — the model's "
-                     "bf16 byte assumption understates comm bytes 2x, and "
-                     "its efficiency floor (zero-overlap >=92% at 64 chips) "
-                     "still holds at 2x bytes: >=85%."),
+                     "a software-pipelined ring emitter. The scaling model "
+                     "reads interleaved_compute_fraction and grad_dtype_f32 "
+                     "from this artifact (tools/scaling_model.py)."),
         }
         with open(model_path, "w") as f:
             json.dump(model, f, indent=2)

@@ -33,8 +33,13 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def grad_bytes():
-    """Gradient pytree bytes for the flagship model (what DP all-reduces)."""
+def grad_bytes(f32: bool):
+    """Gradient pytree bytes for the flagship model (what DP all-reduces).
+
+    The AOT-compiled v5e executable all-reduces the gradients in f32
+    (docs/hlo_overlap.json grad_dtype_f32) — the r3 model's bf16
+    assumption understated comm bytes 2x; default to what the schedule
+    shows."""
     from __graft_entry__ import _flagship_config
     from flasht5_tpu.models import t5
 
@@ -44,9 +49,7 @@ def grad_bytes():
         jax.ShapeDtypeStruct((2,), jnp.uint32))
     leaves = jax.tree_util.tree_leaves(params)
     n_params = sum(int(np.prod(l.shape)) for l in leaves)
-    # grads are carried in param dtype (bf16 master + f32 kahan is optimizer
-    # state, not communicated); the sharded step all-reduces bf16
-    return n_params, 2 * n_params
+    return n_params, (4 if f32 else 2) * n_params
 
 
 def main():
@@ -57,13 +60,28 @@ def main():
     ap.add_argument("--ici-gbps", type=float, default=90.0,
                     help="per-chip ring bandwidth GB/s (2 of 4 v5e ICI "
                          "links per direction, bidirectional ring)")
-    ap.add_argument("--overlap", type=float, default=0.7,
+    ap.add_argument("--overlap", type=float, default=None,
                     help="fraction of the all-reduce hidden behind bwd "
-                         "compute (layer-wise grad bucketing)")
+                         "compute; default = the MEASURED interleaved-"
+                         "compute fraction from docs/hlo_overlap.json "
+                         "(the AOT v5e schedule), not an assumption")
     ap.add_argument("--out", default="docs/scaling_model.json")
     args = ap.parse_args()
 
-    n_params, gbytes = grad_bytes()
+    overlap_src = "cli"
+    hlo = {}
+    if args.overlap is None:
+        try:
+            with open("docs/hlo_overlap.json") as f:
+                hlo = json.load(f)
+            args.overlap = float(hlo["interleaved_compute_fraction"])
+            overlap_src = hlo.get("topology", "docs/hlo_overlap.json")
+        except (OSError, KeyError, ValueError):
+            args.overlap = 0.0
+            overlap_src = "no-evidence-fallback-zero"
+    grads_f32 = bool(hlo.get("grad_dtype_f32", True))
+
+    n_params, gbytes = grad_bytes(grads_f32)
     rows = []
     for n in (2, 4, 8, 16, 32, 64):
         ar_bytes = 2.0 * (n - 1) / n * gbytes          # ring all-reduce
@@ -74,37 +92,52 @@ def main():
                      "allreduce_mb": round(ar_bytes / 2**20, 1),
                      "comm_ms": round(t_comm, 2),
                      "exposed_ms": round(exposed, 2),
-                     "dp_efficiency": round(eff, 4)})
+                     "dp_efficiency": round(eff, 4),
+                     "dp_efficiency_no_overlap":
+                         round(args.step_ms / (args.step_ms + t_comm), 4)})
         print(json.dumps(rows[-1]), flush=True)
-
-    # sensitivity: no overlap at all (worst case)
-    worst = []
-    for n in (8, 64):
-        ar_bytes = 2.0 * (n - 1) / n * gbytes
-        t_comm = ar_bytes / (args.ici_gbps * 1e9) * 1e3
-        worst.append({"chips": n,
-                      "dp_efficiency_no_overlap":
-                          round(args.step_ms / (args.step_ms + t_comm), 4)})
 
     payload = {
         "description": ("Analytic DP scaling on v5e ICI from measured "
                         "single-chip step time + exact gradient bytes. "
-                        "Complements SCALING_r02_cpu.json (orchestration-"
-                        "only; CPU collectives do not model ICI)."),
+                        "Overlap and gradient dtype are taken from the "
+                        "AOT-compiled v5e schedule (docs/hlo_overlap.json), "
+                        "not assumed; every row also carries the "
+                        "zero-overlap floor. Complements "
+                        "SCALING_r02_cpu.json (orchestration-only; CPU "
+                        "collectives do not model ICI)."),
         "model_params": n_params,
-        "grad_bytes_bf16": gbytes,
+        "grad_bytes": gbytes,
+        "grad_dtype": "f32" if grads_f32 else "bf16",
         "step_ms_measured": args.step_ms,
         "ici_gbps_assumed": args.ici_gbps,
-        "overlap_assumed": args.overlap,
+        "overlap_measured": args.overlap,
+        "overlap_source": overlap_src,
+        "overlap_verified": hlo.get("overlap_verified"),
+        "overlap_evidence": ({
+            "topology": hlo.get("topology"),
+            "allreduce_buckets": hlo.get("allreduce_buckets"),
+            "allreduce_mbytes_total": hlo.get("allreduce_mbytes_total"),
+            "compute_ops_between_consecutive_buckets":
+                hlo.get("compute_ops_between_consecutive_buckets"),
+            "compute_ops_after_last_bucket":
+                hlo.get("compute_ops_after_last_bucket"),
+        } if hlo else None),
         "rows": rows,
-        "no_overlap_sensitivity": worst,
-        "conclusion": ("grad all-reduce is {:.1f} MB; at {:.0f} GB/s ring "
-                       "bandwidth it costs ~{:.1f} ms fully exposed vs a "
-                       "{:.1f} ms step — >=85% DP efficiency holds even "
-                       "with zero overlap, and >=97% with layer-wise "
-                       "bucketing, at every scale up to 64 chips.").format(
-            gbytes * 2 / 2**20, args.ici_gbps,
-            2 * gbytes / (args.ici_gbps * 1e9) * 1e3, args.step_ms),
+        "conclusion": ("grad all-reduce is {:.1f} MB ({}); at {:.0f} GB/s "
+                       "ring bandwidth it costs ~{:.1f} ms fully exposed vs "
+                       "a {:.1f} ms step — DP efficiency >= {:.0%} even "
+                       "with ZERO overlap at 64 chips, and >= {:.0%} at the "
+                       "measured {:.0%} schedule interleave.").format(
+            gbytes * 2 / 2**20, "f32" if grads_f32 else "bf16",
+            args.ici_gbps, 2 * gbytes / (args.ici_gbps * 1e9) * 1e3,
+            args.step_ms,
+            args.step_ms / (args.step_ms
+                            + 2 * gbytes / (args.ici_gbps * 1e9) * 1e3),
+            args.step_ms / (args.step_ms
+                            + (1 - args.overlap) * 2 * gbytes
+                            / (args.ici_gbps * 1e9) * 1e3),
+            args.overlap),
     }
     with open(args.out, "w") as f:
         json.dump(payload, f, indent=2)

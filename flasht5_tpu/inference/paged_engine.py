@@ -73,6 +73,16 @@ class PagedEngineConfig:
     # page gather + dequant + full masked attention materializes more HBM
     # traffic than the kernel's launch overhead costs. Kept as an opt-in
     # (parity-tested) for layouts where gathers win; 0 = always the kernel.
+    #
+    # Why the docs/decode_crossover.json switch is NOT wired as a default:
+    # that microbench's XLA attention reads a CONTIGUOUS dense cache — the
+    # layout the slot engine has — so its "XLA wins below the crossover"
+    # rows do not transfer to this engine, where any XLA path must first
+    # gather int8 pages through the page table (this dense-read path) or
+    # stage them once per window (window_stage_max_bytes); BOTH in-engine
+    # forms were measured slower than the chunked kernel at the serving
+    # settings above. The crossover artifact is the map of what paging
+    # itself costs vs a contiguous layout, not an unwired optimization.
     dense_read_max: int = 0
     # Window-buffered appends (r4, VERDICT #5 "append tax"): within a sync
     # window the new K/V go into a dense (B, H, k, D) side buffer written

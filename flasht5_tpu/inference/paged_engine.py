@@ -190,18 +190,13 @@ class PagedState:
             self.page_table[slot, idx] = page
 
     def release(self, slot: int):
-        if not self._owned[slot]:
-            return
+        # NOTE: a released slot's device-side pos stays stale until reuse;
+        # the run loop ships a host-side `released` mask with every window
+        # so the jitted step can zero it for free (a per-release device
+        # .at[].set here was measured to cost a full ~25ms tunnel dispatch
+        # per completed request — 7% of a whole FAT5-small serving run).
         self._free.extend(self._owned[slot])
         self._owned[slot] = []
-        # zero the freed slot's committed-token count: the window step's
-        # empty-pool kernel skip gates on max(pos-at-window-start) > 0, and
-        # a finished slot's stale pos would disarm it for the rest of the
-        # process the moment any request completes. One tiny device update
-        # per request lifetime (guarded above so the every-admission sweep
-        # over long-empty slots costs nothing).
-        # (index as an array: one cached executable for all slot ids)
-        self.pos = self.pos.at[jnp.asarray(slot, jnp.int32)].set(0)
 
 
 class PagedInferenceEngine:
@@ -219,7 +214,7 @@ class PagedInferenceEngine:
         # engine's selling point (page_table ships fresh each window and
         # params are read-only — neither is donated)
         self._multi_step_fn = jax.jit(self._make_multi_step(),
-                                      donate_argnums=(1, 3, 4, 5, 6, 7))
+                                      donate_argnums=(1, 4, 5, 6, 7, 8))
         self._insert_fn = jax.jit(self._make_insert(),
                                   donate_argnums=(0, 1, 2, 3, 4, 5))
 
@@ -461,8 +456,12 @@ class PagedInferenceEngine:
         step = self._make_step()
         k = self.ecfg.steps_per_sync
 
-        def multi(params, layers, page_table, enc_len, pos, cur_token,
-                  active, budget):
+        def multi(params, layers, page_table, released, enc_len, pos,
+                  cur_token, active, budget):
+            # zero stale committed counts of released-but-unreused slots
+            # (host mask rides the window dispatch for free)
+            pos = jnp.where(released, 0, pos)
+
             def body(carry, _):
                 layers, enc_len, pos, cur_token, active, budget = carry
                 was_active = active
@@ -743,10 +742,14 @@ class PagedInferenceEngine:
         quant = ecfg.kv_dtype == "int8"
         P = ecfg.page_size
 
-        def multi(params, layers, page_table, enc_len, pos, cur_token,
-                  active, budget):
+        def multi(params, layers, page_table, released, enc_len, pos,
+                  cur_token, active, budget):
             b = ecfg.max_slots
             h, dkv = config.num_heads, config.d_kv
+            # zero stale committed counts of released-but-unreused slots so
+            # the empty-pool kernel skip (max(base) > 0) stays armed under
+            # churn; the host mask rides the window dispatch for free
+            pos = jnp.where(released, 0, pos)
             base = pos                       # committed tokens, fixed window
             n_pool = layers[0]["pages_kv"].values.shape[0]
             staged = None
@@ -848,9 +851,11 @@ class PagedInferenceEngine:
 
         admit()
         while any(s is not None for s in slots):
+            released = np.array([s is None for s in slots], np.bool_)
             carry, (toks, fins, actives) = self._multi_step_fn(
                 self.params, st.layers, jnp.asarray(st.page_table),
-                st.enc_len, st.pos, st.cur_token, st.active, st.budget)
+                jnp.asarray(released), st.enc_len, st.pos, st.cur_token,
+                st.active, st.budget)
             (st.layers, st.enc_len, st.pos, st.cur_token, st.active,
              st.budget) = carry
             toks_h = np.asarray(toks)

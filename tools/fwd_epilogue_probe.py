@@ -112,10 +112,12 @@ def run_variant(variant, q, k, v, table):
 
     if variant in ("v3_ones_col", "v4_sumcol_only"):
         v = jnp.concatenate([v, jnp.ones((B, H, S, 1), v.dtype)], -1)
-    sec = chained_seconds(
+    # chained_seconds returns (median, min, max) since the r4 median-of-N
+    # update
+    sec, sec_min, sec_max = chained_seconds(
         lambda qq, kk, vv, tt: call(qq, kk, vv, tt)[0], q, k, v, table)
     out = call(q, k, v, table)[0]
-    return sec, out
+    return (sec, sec_min, sec_max), out
 
 
 def main():
@@ -145,17 +147,20 @@ def main():
                     "v3_ones_col", "v4_sumcol_only"):
         mult = variant in ("v2_exp_table", "v3_ones_col")
         tab = (exp_tab if mult else add_tab).astype(jnp.bfloat16)
-        sec, out = run_variant(variant, q, k, v, tab)
+        (sec, sec_min, sec_max), out = run_variant(variant, q, k, v, tab)
         if oref is None:
             oref = out.astype(jnp.float32)
             err = 0.0
         else:
             err = float(jnp.max(jnp.abs(out.astype(jnp.float32) - oref)))
-        results[variant] = {"ms": round(sec * 1e3, 3), "max_abs_err_vs_v0": err}
+        results[variant] = {"ms": round(sec * 1e3, 3),
+                            "ms_min": round(sec_min * 1e3, 3),
+                            "ms_max": round(sec_max * 1e3, 3),
+                            "max_abs_err_vs_v0": err}
         print(variant, results[variant], flush=True)
 
     payload = {"shape": {"B": B, "H": H, "S": S, "D": D, "BM": BM, "BN": BN},
-               "date": "round-4", "variants": results,
+               "date": "round-5", "variants": results,
                "note": ("chained-scan differential timing; err vs v0 is the "
                         "fp difference of the epilogue restructuring at bf16 "
                         "table precision (production parity tests gate the "

@@ -75,9 +75,10 @@ def main():
                          max_new_tokens=max_new) for r in reqs])
         st = eng.state
         multi = jax.jit(eng._make_multi_step())
+        no_rel = jnp.zeros((slots,), jnp.bool_)
         fns[tag] = lambda: multi(
-            eng.params, st.layers, st.page_table, st.enc_len, st.pos,
-            st.cur_token, st.active, st.budget)
+            eng.params, st.layers, st.page_table, no_rel, st.enc_len,
+            st.pos, st.cur_token, st.active, st.budget)
 
     paged_variant("paged_window_staged")                # r4 default
     paged_variant("paged_kernel_read", window_stage_max_bytes=0)

@@ -286,7 +286,13 @@ def _fwd_kernel_nj1_bfold(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, *,
     # (see flash_attention._exp2_on)
     expf = jnp.exp2 if exp2 else jnp.exp
     lse_mult = _LN2 if exp2 else 1.0
-    bias = bias_ref[0, 0]
+    # convert the (bf16 by default) bias tile to f32 ONCE before the
+    # unrolled batch loop: the in-loop `s + bias` is a mixed-type add that
+    # Mosaic re-converts per batch iteration — hoisting measured 18% off
+    # the forward at (B16,H12,S1024,D64): 0.798 -> 0.652ms probe-kernel,
+    # docs/fwd_epilogue_probe.json v1_hoist_f32. Bit-identical output (the
+    # add already promoted to f32).
+    bias = bias_ref[0, 0].astype(jnp.float32)
     # `ablate` (diagnostic only, tools/attn_ablate.py): drop named component
     # passes to expose the kernel's cost anatomy on-chip. Never set in
     # production dispatch.
@@ -961,7 +967,9 @@ def _bwd_fused_kernel_nj1_bfold(q_ref, k_ref, v_ref, bias_ref, lse_ref,
     def _init_w():
         dw_ref[...] = jnp.zeros_like(dw_ref)
 
-    bias = bias_ref[0, 0]
+    # f32-hoist before the unrolled batch loop (same win as the forward:
+    # docs/fwd_epilogue_probe.json v1_hoist_f32; bit-identical output)
+    bias = bias_ref[0, 0].astype(jnp.float32)
     if not full_tile:
         rows = i * block_m + jax.lax.broadcasted_iota(
             jnp.int32, (block_m, block_n), 0)

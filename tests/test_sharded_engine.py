@@ -69,6 +69,28 @@ def test_token_parity_int8_kv():
     _run_pair(_tiny_config(), EngineConfig(kv_dtype="int8", **ECFG), (4, 2))
 
 
+@pytest.mark.parametrize("group_size", [None, 16])
+def test_token_parity_int8_weights(group_size):
+    """INT8 WEIGHT sharding over the tensor axis — the north-star serving
+    config. Pins the r5 sharding-rule fix: qvalues shard like the weight;
+    row-parallel per-channel scales replicate (dequant precedes the psum),
+    group-wise scales split their input-group rows (quantize.py)."""
+    from flasht5_tpu.quantize import quantize_params
+
+    config = _tiny_config()
+    params = t5.init_params(jax.random.PRNGKey(0), config)
+    qparams = quantize_params(params, "int8", group_size=group_size)
+    ecfg = EngineConfig(kv_dtype="int8", **ECFG)
+
+    ref_out = InferenceEngine(config, qparams, ecfg).run(_requests(6, 3))
+    sh = ShardedEngine(config, qparams, ecfg, make_serving_mesh(2, 4))
+    sh_out = sh.run(_requests(6, 3))
+    for r_ref, r_sh in zip(ref_out, sh_out):
+        assert r_ref.result is not None and r_sh.result is not None
+        np.testing.assert_array_equal(r_ref.result, r_sh.result,
+                                      err_msg=f"uid={r_ref.uid}")
+
+
 def test_token_parity_bf16():
     # production dtype; fixed seed (see _tiny_config note on bf16 near-ties)
     _run_pair(_tiny_config(dtype="bfloat16"), EngineConfig(**ECFG), (4, 2))

@@ -111,7 +111,9 @@ def analyze(text: str) -> dict:
     bucket, (d) exact all-reduced bytes."""
     lines = text.splitlines()
     size_re = re.compile(r"(bf16|f32|f16|s32|u32)\[([\d,]*)\]")
-    compute_re = re.compile(r"= \S+ (fusion|dot|convolution|custom-call)\(")
+    # opcode sits right before its '(' — tuple-typed ops ("(f32[...],
+    # u32[])") have spaces inside the type, so "= \S+ " would miss them
+    compute_re = re.compile(r" (fusion|dot|convolution|custom-call)\(")
 
     def tuple_bytes(segment):
         total = 0

@@ -38,9 +38,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
+# Async collectives appear as -start/-done pairs in the scheduled module;
+# count only the starts (a done is the wait, not a new collective). The
+# opcode sits right before its '(' — do NOT anchor on "= \S+ ": tuple-typed
+# ops ("(f32[...], u32[])") have spaces inside the type.
 COLL_RE = re.compile(
-    r"= \S+ (all-reduce|reduce-scatter|all-gather|collective-permute)\(")
-COMPUTE_RE = re.compile(r"= \S+ (fusion|dot|convolution|custom-call)\(")
+    r" (all-reduce|reduce-scatter|all-gather|collective-permute)"
+    r"(?:-start)?\(")
+COMPUTE_RE = re.compile(r" (fusion|dot|convolution|custom-call)\(")
 
 
 def build_compiled(topology: str, data: int, tensor: int):
@@ -77,16 +82,19 @@ def build_compiled(topology: str, data: int, tensor: int):
                                 use_collective_matmul=True)
     eng.ecfg = ecfg
 
-    abstract_q = jax.eval_shape(
-        lambda r: quantize_params(t5.init_params(r, config)),
-        jax.random.PRNGKey(0))
+    abstract_p = jax.eval_shape(lambda r: t5.init_params(r, config),
+                                jax.random.PRNGKey(0))
+    abstract_q = jax.eval_shape(quantize_params, abstract_p)
     eng.params = abstract_q
     eng._pspecs = param_pspecs(abstract_q)
 
-    state_abs = jax.eval_shape(
-        lambda: tuple(BatchState(config, None, ecfg).__dict__[k]
-                      for k in ("layers", "enc_len", "pos", "cur_token",
-                                "active", "budget")))
+    def mk_state(p):
+        st = BatchState(config, p, ecfg)
+        return tuple(st.__dict__[k]
+                     for k in ("layers", "enc_len", "pos", "cur_token",
+                               "active", "budget"))
+
+    state_abs = jax.eval_shape(mk_state, abstract_p)
     layers_abs = state_abs[0]
     lc = layers_abs[0]
     eng._layers_spec = tuple(
@@ -97,19 +105,40 @@ def build_compiled(topology: str, data: int, tensor: int):
     multi = eng._shard_multi_step()
 
     def with_sharding(tree, spec_tree):
-        return jax.tree.map(
-            lambda x, s: jax.ShapeDtypeStruct(
-                x.shape, x.dtype, sharding=NamedSharding(mesh, s)),
-            tree, spec_tree,
-            is_leaf=lambda n: n is None)
+        # P is a tuple subclass, so tree_map would recurse INTO the specs;
+        # flatten both sides explicitly with P as a leaf.
+        leaves, treedef = jax.tree.flatten(tree)
+        if isinstance(spec_tree, P):
+            specs = [spec_tree] * len(leaves)
+        else:
+            specs = jax.tree.flatten(
+                spec_tree, is_leaf=lambda n: isinstance(n, P))[0]
+        assert len(specs) == len(leaves), (len(specs), len(leaves))
+        out = [jax.ShapeDtypeStruct(x.shape, x.dtype,
+                                    sharding=NamedSharding(mesh, s))
+               for x, s in zip(leaves, specs)]
+        return jax.tree.unflatten(treedef, out)
 
     p_in = with_sharding(abstract_q, eng._pspecs)
     st_in = tuple(
-        with_sharding(t, jax.tree.map(lambda _: s, t))
+        with_sharding(t, s)
         for t, s in zip(state_abs, eng._state_specs))
     rng_in = jax.ShapeDtypeStruct((2,), jnp.uint32,
                                   sharding=NamedSharding(mesh, P()))
-    return jax.jit(multi).lower(p_in, *st_in, rng_in).compile()
+    decode = jax.jit(multi).lower(p_in, *st_in, rng_in).compile()
+
+    # prefill: rows sharded over "data", ring collective-matmul ACTIVE
+    # (decode's x has fewer rows than tensor shards, so its o/wo reductions
+    # legitimately take the blocking-psum branch of _row_parallel_matmul;
+    # the ring path needs m % t == 0 row chunks, which prefill has)
+    eng._encode_fns = {}
+    nb = max(2, data)
+    ids_in = jax.ShapeDtypeStruct(
+        (nb, ecfg.max_encode_len), jnp.int32,
+        sharding=NamedSharding(mesh, P("data")))
+    prefill = eng._encode_fn(ecfg.max_encode_len, nb).lower(
+        p_in, ids_in).compile()
+    return decode, prefill
 
 
 def analyze(text: str) -> dict:
@@ -196,14 +225,18 @@ def main():
     ap.add_argument("--out", default="docs/serving_overlap.json")
     args = ap.parse_args()
 
-    compiled = build_compiled(args.topology, args.data, args.tensor)
-    text = compiled.as_text()
-    summary = analyze(text)
+    decode, prefill = build_compiled(args.topology, args.data, args.tensor)
+    summary = {"decode_window": analyze(decode.as_text()),
+               "prefill": analyze(prefill.as_text())}
     summary["topology"] = args.topology
     summary["mesh"] = {"data": args.data, "tensor": args.tensor}
-    summary["what"] = ("scheduled HLO of ShardedEngine decode window "
-                       "(int8 weights+KV, collective matmul, vocab-parallel "
-                       "argmax) AOT-compiled for a v5e slice")
+    summary["what"] = ("scheduled HLO of the ShardedEngine decode window "
+                       "AND prefill (int8 weights+KV, collective matmul, "
+                       "vocab-parallel argmax) AOT-compiled for a v5e "
+                       "slice. Decode's o/wo reductions are blocking psums "
+                       "by design at tiny per-step row counts (m < tensor "
+                       "shards); the ring collective-permute matmul shows "
+                       "up in prefill where rows are plentiful.")
     with open(args.out, "w") as f:
         json.dump(summary, f, indent=2)
         f.write("\n")

@@ -19,6 +19,7 @@ import sys
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
 
 from multiprocess_launch import launch  # noqa: E402
+from multiprocess_serving import launch as serving_launch  # noqa: E402
 
 
 def test_two_process_data_parallel_matches_single_process():
@@ -36,3 +37,16 @@ def test_two_process_data_parallel_matches_single_process():
         assert abs(a - b) < 1e-5
     for a, b in zip(single["grad_norms"], multi["grad_norms"]):
         assert abs(a - b) < 1e-5
+
+
+def test_two_process_sharded_serving_token_parity():
+    """Continuous batching ACROSS PROCESSES (the north-star "across hosts"
+    clause): the ShardedEngine's data axis spans two OS processes joined
+    via jax.distributed; every host runs the same scheduler in lockstep
+    and harvests the replicated token streams. Must be token-exact vs the
+    single-process mesh (int8 KV)."""
+    single = serving_launch(1, 4, timeout=540)
+    multi = serving_launch(2, 4, timeout=540)
+    assert multi["process_count"] == 2
+    assert single["streams"] == multi["streams"]
+    assert all(len(s) >= 1 for s in multi["streams"].values())

@@ -224,6 +224,40 @@ class PagedInferenceEngine:
                 return b
         return self.ecfg.encode_buckets[-1]
 
+    def _prefill_batch(self, n: int) -> int:
+        """Round a prefill batch up to a power of two (bounds the number of
+        compiled encode variants at log2(max_slots) per bucket)."""
+        b = 1
+        while b < n:
+            b *= 2
+        return min(b, max(1, self.ecfg.max_slots))
+
+    def warmup(self, buckets=None) -> None:
+        """Compile every prefill variant (all power-of-two batch sizes per
+        bucket) plus each per-nb insert, so churn-wave admissions under
+        load measure serving, not compilation (r5: unwarmed nb variants
+        stalled the heavy-tail XL runs mid-measurement)."""
+        buckets = buckets or self.ecfg.encode_buckets
+        st = self.state
+        for bucket in buckets:
+            nb = 1
+            while True:
+                fn = self._encode_fn(bucket, nb)
+                cross = fn(self.params, jnp.zeros((nb, bucket), jnp.int32))
+                # the insert donates the state buffers: thread the outputs
+                # back (slot 0's fake request is parked below)
+                out = self._insert_fn(st.layers, st.enc_len, st.pos,
+                                      st.cur_token, st.active, st.budget,
+                                      cross, 0, 0, bucket, 1)
+                (st.layers, st.enc_len, st.pos, st.cur_token, st.active,
+                 st.budget) = out
+                np.asarray(out[1])     # force completion through the tunnel
+                if nb >= self._prefill_batch(self.ecfg.max_slots):
+                    break
+                nb *= 2
+        st.active = jnp.zeros_like(st.active)
+        st.pos = jnp.zeros_like(st.pos)
+
     def _use_dense_read(self) -> bool:
         """Trace-time reader choice: fused XLA gather-attention for small
         pools, the chunked Pallas kernel at scale (see dense_read_max)."""
@@ -243,8 +277,12 @@ class PagedInferenceEngine:
         return (ecfg.kernel == "chunked" and ecfg.window_appends
                 and 0 < staged <= ecfg.window_stage_max_bytes)
 
-    def _encode_fn(self, bucket: int) -> Callable:
-        if bucket not in self._encode_fns:
+    def _encode_fn(self, bucket: int, nb: int = 1) -> Callable:
+        """Batched prefill: encode `nb` sequences in ONE call; per-layer
+        cross K/V come back with leading dim nb (row j = request j — the
+        insert slices its row on device, same as the slot engine)."""
+        key = (bucket, nb)
+        if key not in self._encode_fns:
             config = self.config
 
             def run(params, ids):
@@ -259,17 +297,20 @@ class PagedInferenceEngine:
                                              config.d_kv)))
                 return outs
 
-            self._encode_fns[bucket] = jax.jit(run)
-        return self._encode_fns[bucket]
+            self._encode_fns[key] = jax.jit(run)
+        return self._encode_fns[key]
 
     def _make_insert(self):
         ecfg = self.ecfg
         quant = ecfg.kv_dtype == "int8"
 
         def insert(layers, enc_len, pos, cur_token, active, budget,
-                   cross_kvs, slot, bucket_len, max_new):
+                   cross_kvs, row_idx, slot, bucket_len, max_new):
             new_layers = []
-            for layer, (ck, cv) in zip(layers, cross_kvs):
+            for layer, (ckb, cvb) in zip(layers, cross_kvs):
+                # batched prefill: this request's row of the nb-row encode
+                ck = jax.lax.dynamic_slice_in_dim(ckb, row_idx, 1, 0)
+                cv = jax.lax.dynamic_slice_in_dim(cvb, row_idx, 1, 0)
                 pad = ecfg.max_encode_len - ck.shape[2]
                 ckp = jnp.pad(ck, ((0, 0), (0, 0), (0, pad), (0, 0)))
                 cvp = jnp.pad(cv, ((0, 0), (0, 0), (0, pad), (0, 0)))
@@ -815,35 +856,46 @@ class PagedInferenceEngine:
             for i in range(self.ecfg.max_slots):
                 if slots[i] is None:
                     st.release(i)
+            # select admissible requests FIFO (capacity-aware, reserving
+            # pages as we go — oversubscribed pools defer at the first
+            # request that doesn't fit, identical to per-request admission)
+            take = []
             for i in range(self.ecfg.max_slots):
-                if slots[i] is None and queue:
-                    req = queue[0]
-                    # oversubscribed pool (num_pages < slots*max_pages_per
-                    # _slot): a request whose budget doesn't fit right now
-                    # stays queued and retries after the next harvest frees
-                    # pages — admission control, not a crash
-                    want = min(req.max_new_tokens,
-                               self.ecfg.max_pages_per_slot * P - 1) + 1
-                    if not st.can_allocate(i, want, P):
-                        if not any(s is not None for s in slots):
-                            raise RuntimeError(
-                                "request %r needs %d tokens of KV but the "
-                                "whole pool is %d pages x %d" %
-                                (req.uid, want, self.ecfg.num_pages, P))
-                        break
-                    queue.pop(0)
-                    L = min(len(req.input_ids), self.ecfg.max_encode_len)
-                    bucket = self._bucket_for(L)
-                    padded = np.zeros((1, bucket), np.int32)
-                    padded[0, :L] = req.input_ids[:L]
-                    cross = self._encode_fn(bucket)(self.params,
+                if slots[i] is not None or not queue:
+                    continue
+                req = queue[0]
+                max_new = min(req.max_new_tokens,
+                              self.ecfg.max_pages_per_slot * P - 1)
+                if not st.can_allocate(i, max_new + 1, P):
+                    if not any(s is not None for s in slots) and not take:
+                        raise RuntimeError(
+                            "request %r needs %d tokens of KV but the "
+                            "whole pool is %d pages x %d" %
+                            (req.uid, max_new + 1, self.ecfg.num_pages, P))
+                    break
+                queue.pop(0)
+                st.ensure_capacity(i, max_new + 1, P)
+                take.append((req, i, max_new))
+            # ONE batched encode per bucket for everything admitted this
+            # cycle — under churn the per-request encode round-trips were
+            # the dominant cost of heavy-tail XL serving (SERVING_XL_PAGED
+            # _r05: 96 admissions x one full XL encode each)
+            by_bucket: Dict[int, list] = {}
+            for req, i, max_new in take:
+                L = min(len(req.input_ids), self.ecfg.max_encode_len)
+                by_bucket.setdefault(self._bucket_for(L), []).append(
+                    (req, i, max_new, L))
+            for bucket, items in by_bucket.items():
+                nb = self._prefill_batch(len(items))
+                padded = np.zeros((nb, bucket), np.int32)
+                for j, (req, i, max_new, L) in enumerate(items):
+                    padded[j, :L] = req.input_ids[:L]
+                cross = self._encode_fn(bucket, nb)(self.params,
                                                     jnp.asarray(padded))
-                    max_new = min(req.max_new_tokens,
-                                  self.ecfg.max_pages_per_slot * P - 1)
-                    st.ensure_capacity(i, max_new + 1, P)
+                for j, (req, i, max_new, L) in enumerate(items):
                     out = self._insert_fn(
                         st.layers, st.enc_len, st.pos, st.cur_token,
-                        st.active, st.budget, cross, i, bucket, max_new)
+                        st.active, st.budget, cross, j, i, bucket, max_new)
                     (st.layers, st.enc_len, st.pos, st.cur_token, st.active,
                      st.budget) = out
                     slots[i] = req

@@ -175,7 +175,13 @@ def main():
     ap.add_argument("--combine-threshold-mb", type=int, default=None,
                     help="override --xla_all_reduce_combine_threshold_bytes "
                          "(smaller buckets = finer scheduler interleave; "
-                         "experiment for the exposed lm_head/embedding tail)")
+                         "experiment for the exposed lm_head/embedding "
+                         "tail). NOTE: this environment's XLA build rejects "
+                         "the flag as unknown (fatal at backend init, "
+                         "probed r5) — the combiner bucket size is NOT "
+                         "tunable here; the available tail lever is "
+                         "--allreduce-dtype bfloat16 (halves the tail "
+                         "bytes, docs/hlo_overlap_bf16.json)")
     args = ap.parse_args()
 
     if args.combine_threshold_mb is not None:

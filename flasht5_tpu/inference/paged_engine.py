@@ -533,8 +533,14 @@ class PagedInferenceEngine:
 
         def step(params, layers, page_table, worklist, staged, base, side,
                  t, enc_len, pos, cur_token, active, budget):
-            b = ecfg.max_slots
-            h, dkv = config.num_heads, config.d_kv
+            # shard-oblivious (ShardedPagedEngine runs this under
+            # shard_map): slot count from the state, head count from the
+            # (possibly tensor-sharded) projections; with config.tp_axis
+            # set the o-projections reduce across tensor shards and the
+            # next token comes from the vocab-parallel argmax
+            b = cur_token.shape[0]
+            dkv = config.d_kv
+            tp = config.tp_axis
             emb = params["shared"]["embedding"]
             x = jnp.take(emb, cur_token, axis=0).astype(
                 jnp.dtype(config.dtype))[:, None, :]
@@ -576,6 +582,7 @@ class PagedInferenceEngine:
                 layer = layers[li]
                 side_k, side_v = side[li]
                 sa = blk["self_attention_layer"]["self_attention"]
+                h = sa["Wq"].shape[1] // dkv           # local (sharded) heads
                 normed = t5._layer_norm(
                     config, blk["self_attention_layer"]["layer_norm"]["weight"], x)
                 q = kv_cache._proj_heads(normed, sa["Wq"], h, dkv)[:, :, 0]
@@ -640,9 +647,16 @@ class PagedInferenceEngine:
                                 jnp.full((b, h), -1e30, jnp.float32),
                                 jnp.zeros((b, h), jnp.float32))
 
-                    out_p, m_p, l_p = jax.lax.cond(
-                        jnp.max(base) > 0, _kernel_branch, _empty_branch,
-                        q32)
+                    if getattr(self, "_use_empty_gate", True):
+                        out_p, m_p, l_p = jax.lax.cond(
+                            jnp.max(base) > 0, _kernel_branch, _empty_branch,
+                            q32)
+                    else:
+                        # ShardedPagedEngine: the gate's lax.cond wraps the
+                        # Pallas call, which does not survive shard_map SPMD
+                        # partitioning on every shard — run the kernel
+                        # unconditionally there
+                        out_p, m_p, l_p = _kernel_branch(q32)
 
                 skf = side_k.values.astype(jnp.float32)
                 svf = side_v.values.astype(jnp.float32)
@@ -667,7 +681,10 @@ class PagedInferenceEngine:
                 attn = (out_p.astype(jnp.float32) * w_p[..., None]
                         + o_s * w_s[..., None]) / denom[..., None]
                 attn = attn.astype(x.dtype).reshape(b, 1, h * dkv)
-                x = x + t5._matmul(attn, sa["o"])
+                if tp is not None:
+                    x = x + t5._row_parallel_matmul(config, attn, sa["o"])
+                else:
+                    x = x + t5._matmul(attn, sa["o"])
 
                 ca = blk["cross_attention_layer"]["cross_attention"]
                 normed = t5._layer_norm(
@@ -680,7 +697,10 @@ class PagedInferenceEngine:
                 attn = jnp.einsum("bhqn,bhnd->bhqd", pc,
                                   _kv_read(layer["cross_v"])).astype(x.dtype)
                 attn = jnp.transpose(attn, (0, 2, 1, 3)).reshape(b, 1, h * dkv)
-                x = x + t5._matmul(attn, ca["o"])
+                if tp is not None:
+                    x = x + t5._row_parallel_matmul(config, attn, ca["o"])
+                else:
+                    x = x + t5._matmul(attn, ca["o"])
 
                 x = t5._ff(config, blk["ff_layer"], x, rng=None,
                            deterministic=True)
@@ -692,7 +712,12 @@ class PagedInferenceEngine:
                 logits = jnp.dot(x, emb.T.astype(x.dtype))
             else:
                 logits = t5._matmul(x, params["lm_head"])
-            nxt = jnp.argmax(logits[:, 0], axis=-1).astype(jnp.int32)
+            if tp is not None and not config.tie_word_embeddings:
+                from flasht5_tpu.parallel.vocab_parallel import (
+                    vocab_parallel_next_token)
+                nxt = vocab_parallel_next_token(logits[:, 0], tp)
+            else:
+                nxt = jnp.argmax(logits[:, 0], axis=-1).astype(jnp.int32)
 
             budget = jnp.where(active, budget - 1, budget)
             hit_eos = nxt == config.eos_token_id
@@ -785,8 +810,11 @@ class PagedInferenceEngine:
 
         def multi(params, layers, page_table, released, enc_len, pos,
                   cur_token, active, budget):
-            b = ecfg.max_slots
-            h, dkv = config.num_heads, config.d_kv
+            # local (shard) sizes — see the step's shard-oblivious note
+            b = enc_len.shape[0]
+            dkv = config.d_kv
+            h = (params["decoder"]["block"][0]["self_attention_layer"]
+                 ["self_attention"]["Wq"].shape[1] // dkv)
             # zero stale committed counts of released-but-unreused slots so
             # the empty-pool kernel skip (max(base) > 0) stays armed under
             # churn; the host mask rides the window dispatch for free

@@ -617,6 +617,14 @@ def build_chunked_worklist(page_table, lengths, *, page_size: int,
     measured paged append tax)."""
     b = page_table.shape[0]
     maxp = page_table.shape[1]
+    # MUST mirror the kernel wrapper's clamp (paged_decode_attention_
+    # chunked_packed): the kernel strides this list as pids[item*chunk+ci]
+    # with ITS clamped chunk, so an externally hoisted list built with a
+    # wider chunk is silently misaligned — every slot but the first read
+    # the wrong pages whenever max_pages_per_slot < pages_per_item
+    # (latent r3-r5 bug, caught by the sharded-paged parity tests whose
+    # per-shard slot-0s disagreed with the single-device engine).
+    chunk = max(1, min(chunk, maxp))
     P = page_size
     n_items = (n_pages + chunk - 1) // chunk + b
     npages = (lengths + P - 1) // P                        # (b,)

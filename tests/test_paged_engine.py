@@ -127,3 +127,28 @@ def test_window_appends_multi_window_parity(kv, sync, dense_read, stage):
                                       err_msg=f"windowed kv={kv} sync={sync}")
         np.testing.assert_array_equal(a.result, c.result,
                                       err_msg=f"stepwise kv={kv} sync={sync}")
+
+
+@pytest.mark.parametrize("kv", ["native", "int8"])
+def test_chunk_wider_than_page_table_parity(kv):
+    """Regression (r5): pages_per_item WIDER than max_pages_per_slot. The
+    kernel wrapper clamps its chunk to the table width, but the engine's
+    hoisted work-list used the unclamped value — every slot except the
+    first read the wrong pages (misaligned pids stride). This is the
+    production default shape (pages_per_item=8) whenever budgets are small
+    (e.g. the dense serving A/B: max_new 256 / page 64 -> 5-page tables).
+    build_chunked_worklist now mirrors the clamp."""
+    config = tiny_config()
+    params = t5.init_params(jax.random.PRNGKey(0), config)
+    got = PagedInferenceEngine(config, params, PagedEngineConfig(
+        max_slots=3, page_size=8, num_pages=12, max_pages_per_slot=3,
+        max_encode_len=16, encode_buckets=(16,), kv_dtype=kv,
+        kernel="chunked", pages_per_item=8, steps_per_sync=3)).run(
+            mk_requests(n=7, max_new=17))
+    want = InferenceEngine(config, params, EngineConfig(
+        max_slots=3, max_decode_len=24, max_encode_len=16,
+        encode_buckets=(16,), kv_dtype=kv, steps_per_sync=3)).run(
+            mk_requests(n=7, max_new=17))
+    for a, b in zip(want, got):
+        np.testing.assert_array_equal(a.result, b.result,
+                                      err_msg=f"uid={a.uid} kv={kv}")

@@ -50,3 +50,14 @@ def test_two_process_sharded_serving_token_parity():
     assert multi["process_count"] == 2
     assert single["streams"] == multi["streams"]
     assert all(len(s) >= 1 for s in multi["streams"].values())
+
+
+def test_two_process_sharded_paged_serving_token_parity():
+    """Same, for the PAGED sharded engine: per-shard page pools +
+    allocators with the data axis spanning processes — paged continuous
+    batching across hosts, token-exact."""
+    single = serving_launch(1, 4, timeout=540, engine="paged")
+    multi = serving_launch(2, 4, timeout=540, engine="paged")
+    assert multi["process_count"] == 2
+    assert single["streams"] == multi["streams"]
+    assert all(len(s) >= 1 for s in multi["streams"].values())

@@ -35,7 +35,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def run_worker(coordinator: str, num_processes: int, process_id: int,
-               out_path: str) -> None:
+               out_path: str, engine_kind: str = "slot") -> None:
     import jax
     jax.config.update("jax_platforms", "cpu")
     sys.path.insert(0, REPO)
@@ -65,10 +65,19 @@ def run_worker(coordinator: str, num_processes: int, process_id: int,
     params = jax.tree.map(np.asarray, params)   # host values: multihost-safe
 
     mesh = make_serving_mesh(data=2, tensor=len(jax.devices()) // 2)
-    ecfg = EngineConfig(max_slots=4, max_decode_len=16, max_encode_len=64,
-                        encode_buckets=(16, 32, 64), steps_per_sync=4,
-                        kv_dtype="int8")
-    engine = ShardedEngine(config, params, ecfg, mesh)
+    if engine_kind == "paged":
+        from flasht5_tpu.inference.paged_engine import PagedEngineConfig
+        from flasht5_tpu.inference.sharded_paged_engine import (
+            ShardedPagedEngine)
+        engine = ShardedPagedEngine(config, params, PagedEngineConfig(
+            max_slots=4, page_size=8, num_pages=12, max_pages_per_slot=3,
+            max_encode_len=64, encode_buckets=(16, 32, 64),
+            steps_per_sync=4, kv_dtype="int8"), mesh)
+    else:
+        ecfg = EngineConfig(max_slots=4, max_decode_len=16,
+                            max_encode_len=64, encode_buckets=(16, 32, 64),
+                            steps_per_sync=4, kv_dtype="int8")
+        engine = ShardedEngine(config, params, ecfg, mesh)
 
     rng = np.random.RandomState(3)
     reqs = []
@@ -93,7 +102,8 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def launch(processes: int, devices: int, timeout: int = 600) -> dict:
+def launch(processes: int, devices: int, timeout: int = 600,
+           engine: str = "slot") -> dict:
     per_proc = devices // processes
     port = _free_port()
     out_path = tempfile.mktemp(suffix=".json")
@@ -107,7 +117,7 @@ def launch(processes: int, devices: int, timeout: int = 600) -> dict:
         [sys.executable, os.path.abspath(__file__), "--worker",
          "--coordinator", f"127.0.0.1:{port}",
          "--processes", str(processes), "--process-id", str(pid),
-         "--json", out_path],
+         "--engine", engine, "--json", out_path],
         env=env, cwd=REPO,
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
         for pid in range(processes)]
@@ -130,24 +140,26 @@ def main():
     ap.add_argument("--coordinator")
     ap.add_argument("--processes", type=int, default=2)
     ap.add_argument("--process-id", type=int, default=0)
+    ap.add_argument("--engine", default="slot", choices=("slot", "paged"))
     ap.add_argument("--json", default=None)
     args = ap.parse_args()
 
     if args.worker:
         run_worker(args.coordinator, args.processes, args.process_id,
-                   args.json)
+                   args.json, args.engine)
         return
 
-    single = launch(1, 4)
-    multi = launch(2, 4)
+    single = launch(1, 4, engine=args.engine)
+    multi = launch(2, 4, engine=args.engine)
     match = single["streams"] == multi["streams"]
     result = {
+        "engine": args.engine,
         "single_process": single,
         "multi_process": multi,
         "token_streams_identical": match,
-        "what": ("ShardedEngine continuous batching across 2 processes "
-                 "(data axis spans processes), token-exact vs the "
-                 "single-process mesh"),
+        "what": (f"Sharded {args.engine} engine continuous batching across "
+                 "2 processes (data axis spans processes), token-exact vs "
+                 "the single-process mesh"),
     }
     print(json.dumps({k: v for k, v in result.items()
                       if k != "single_process"}, indent=2)[:2000])

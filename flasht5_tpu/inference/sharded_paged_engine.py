@@ -115,6 +115,23 @@ class ShardedPagedEngine(PagedInferenceEngine):
             "sharded paged serving supports the production path only "
             "(kernel='chunked', window_appends=True)")
         assert ecfg.dense_read_max == 0 and ecfg.window_stage_max_bytes == 0
+        # Mosaic lane-alignment constraint (found by the AOT schedule check,
+        # tools/serving_overlap_check.py): the chunked kernel's packed-row
+        # flatten needs the LOCAL lane count h_local*(P//f) to be a
+        # multiple of 128 on real TPUs. FAT5-small (H=8, d_kv=64, P=64)
+        # supports tensor<=2; T5-XL (H=32) supports tensor<=8. CPU
+        # interpret mode (the parity tests) has no such limit.
+        from flasht5_tpu.inference.paged_kv import kv_packing_factor
+        tshards = mesh.shape["tensor"]
+        f = kv_packing_factor(config.d_kv, ecfg.page_size)
+        local_lanes = (config.num_heads // tshards) * (ecfg.page_size // f)
+        if jax.default_backend() == "tpu" and local_lanes % 128 != 0:
+            import warnings
+            warnings.warn(
+                f"sharded paged kernel: local packed lanes {local_lanes} "
+                "not 128-aligned — Mosaic will reject this tensor-sharding "
+                "degree on real TPUs (reduce tensor ways or raise "
+                "page_size)", stacklevel=2)
         self.mesh = mesh
         self.data = data
         self.config = config.replace(tp_axis="tensor")

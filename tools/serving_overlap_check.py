@@ -104,7 +104,7 @@ def build_compiled(topology: str, data: int, tensor: int):
 
     multi = eng._shard_multi_step()
 
-    def with_sharding(tree, spec_tree):
+    def with_sharding(tree, spec_tree, on_mesh=None):
         # P is a tuple subclass, so tree_map would recurse INTO the specs;
         # flatten both sides explicitly with P as a leaf.
         leaves, treedef = jax.tree.flatten(tree)
@@ -115,7 +115,8 @@ def build_compiled(topology: str, data: int, tensor: int):
                 spec_tree, is_leaf=lambda n: isinstance(n, P))[0]
         assert len(specs) == len(leaves), (len(specs), len(leaves))
         out = [jax.ShapeDtypeStruct(x.shape, x.dtype,
-                                    sharding=NamedSharding(mesh, s))
+                                    sharding=NamedSharding(on_mesh or mesh,
+                                                           s))
                for x, s in zip(leaves, specs)]
         return jax.tree.unflatten(treedef, out)
 
@@ -138,7 +139,67 @@ def build_compiled(topology: str, data: int, tensor: int):
         sharding=NamedSharding(mesh, P("data")))
     prefill = eng._encode_fn(ecfg.max_encode_len, nb).lower(
         p_in, ids_in).compile()
-    return decode, prefill
+
+    # --- sharded PAGED decode window (sharded_paged_engine.py) ---
+    import dataclasses
+
+    from flasht5_tpu.inference import sharded_paged_engine as spe
+    from flasht5_tpu.inference.paged_engine import (PagedEngineConfig,
+                                                    PagedState)
+
+    pcfg = PagedEngineConfig(max_slots=2 * data, page_size=64, num_pages=16,
+                             max_pages_per_slot=4, max_encode_len=512,
+                             encode_buckets=(512,), kv_dtype="int8",
+                             steps_per_sync=8)
+    # Mosaic constraint (found by THIS check): the chunked kernel's packed
+    # row flatten needs the local lane count h_local*(P/f) to be 128-lane
+    # aligned; FAT5-small (H=8, P=64, f=2 -> 32 lanes/head) supports
+    # tensor<=2, T5-XL (H=32) supports tensor<=8. Compile the paged window
+    # on a (data*tensor//2, 2) arrangement of the same topology.
+    pdata, ptensor = data * tensor // 2, 2
+    pmesh = Mesh(devs.reshape(pdata, ptensor), ("data", "tensor"))
+    pcfg = dataclasses.replace(pcfg, max_slots=2 * pdata)
+    peng = spe.ShardedPagedEngine.__new__(spe.ShardedPagedEngine)
+    peng.mesh = pmesh
+    peng.data = pdata
+    peng.config = config.replace(tp_axis="tensor")
+    peng.ecfg = pcfg
+    peng._use_empty_gate = False
+    peng.params = abstract_q
+    peng._pspecs = param_pspecs(abstract_q)
+
+    big = dataclasses.replace(pcfg,
+                              num_pages=pdata * (pcfg.num_pages + 1) - 1)
+
+    def mk_pstate(p):
+        st = PagedState(config, p, big)
+        return (st.layers, st.enc_len, st.pos, st.cur_token, st.active,
+                st.budget)
+
+    pstate_abs = jax.eval_shape(mk_pstate, abstract_p)
+    kv_specs = {"pages_kv": (spe._PAGES_VALS_SPEC, spe._PAGES_SCALES_SPEC),
+                "cross_k": (spe._CROSS_SPEC, spe._CROSS_SPEC),
+                "cross_v": (spe._CROSS_SPEC, spe._CROSS_SPEC)}
+    from flasht5_tpu.inference.engine import KVTensor
+    peng._layer_specs = tuple(
+        {k: KVTensor(kv_specs[k][0],
+                     None if layer[k].scales is None else kv_specs[k][1])
+         for k in layer}
+        for layer in pstate_abs[0])
+    pmulti = peng._shard_window_multi()
+
+    pt_in = jax.ShapeDtypeStruct(
+        (pcfg.max_slots, pcfg.max_pages_per_slot), jnp.int32,
+        sharding=NamedSharding(pmesh, P("data")))
+    rel_in = jax.ShapeDtypeStruct(
+        (pcfg.max_slots,), jnp.bool_,
+        sharding=NamedSharding(pmesh, P("data")))
+    pp_in = with_sharding(abstract_q, peng._pspecs, pmesh)
+    pst_in = (with_sharding(pstate_abs[0], peng._layer_specs, pmesh),) + tuple(
+        with_sharding(t, spe._SLOT_SPEC, pmesh) for t in pstate_abs[1:])
+    paged_decode = jax.jit(pmulti).lower(
+        pp_in, pst_in[0], pt_in, rel_in, *pst_in[1:]).compile()
+    return decode, prefill, paged_decode
 
 
 def analyze(text: str) -> dict:
@@ -225,18 +286,26 @@ def main():
     ap.add_argument("--out", default="docs/serving_overlap.json")
     args = ap.parse_args()
 
-    decode, prefill = build_compiled(args.topology, args.data, args.tensor)
+    decode, prefill, paged_decode = build_compiled(
+        args.topology, args.data, args.tensor)
     summary = {"decode_window": analyze(decode.as_text()),
-               "prefill": analyze(prefill.as_text())}
+               "prefill": analyze(prefill.as_text()),
+               "paged_decode_window": analyze(paged_decode.as_text())}
     summary["topology"] = args.topology
     summary["mesh"] = {"data": args.data, "tensor": args.tensor}
-    summary["what"] = ("scheduled HLO of the ShardedEngine decode window "
-                       "AND prefill (int8 weights+KV, collective matmul, "
-                       "vocab-parallel argmax) AOT-compiled for a v5e "
-                       "slice. Decode's o/wo reductions are blocking psums "
-                       "by design at tiny per-step row counts (m < tensor "
-                       "shards); the ring collective-permute matmul shows "
-                       "up in prefill where rows are plentiful.")
+    summary["what"] = ("scheduled HLO of the ShardedEngine decode window, "
+                       "prefill, AND the ShardedPagedEngine decode window "
+                       "(int8 weights+KV, collective matmul, vocab-parallel "
+                       "argmax) AOT-compiled for a v5e slice. Decode o/wo "
+                       "reductions are blocking psums by design at tiny "
+                       "per-step row counts (m < tensor shards); the ring "
+                       "collective-permute matmul shows up in prefill where "
+                       "rows are plentiful. The paged window compiles on a "
+                       "(4,2) arrangement: Mosaic needs the packed rows' "
+                       "LOCAL lane count 128-aligned (small models cap "
+                       "tensor ways for the paged kernel; T5-XL supports "
+                       "tensor<=8) — a real-hardware constraint this check "
+                       "caught that CPU interpret tests cannot.")
     with open(args.out, "w") as f:
         json.dump(summary, f, indent=2)
         f.write("\n")

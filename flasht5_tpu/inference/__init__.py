@@ -10,5 +10,7 @@ on top.
 
 from flasht5_tpu.inference.kv_cache import DecodeState, init_decode_state, decode_step
 from flasht5_tpu.inference.generate import generate
+from flasht5_tpu.inference.beam_search import beam_generate
 
-__all__ = ["DecodeState", "init_decode_state", "decode_step", "generate"]
+__all__ = ["DecodeState", "init_decode_state", "decode_step", "generate",
+           "beam_generate"]

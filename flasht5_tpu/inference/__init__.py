@@ -8,9 +8,12 @@ caches, once-computed cross-attention caches, greedy/sampling loops under
 on top.
 """
 
-from flasht5_tpu.inference.kv_cache import DecodeState, init_decode_state, decode_step
+from flasht5_tpu.inference.kv_cache import (DecodeState, init_decode_state,
+                                            decode_step, decode_window_step)
 from flasht5_tpu.inference.generate import generate
 from flasht5_tpu.inference.beam_search import beam_generate
+from flasht5_tpu.inference.speculative import speculative_generate
 
-__all__ = ["DecodeState", "init_decode_state", "decode_step", "generate",
-           "beam_generate"]
+__all__ = ["DecodeState", "init_decode_state", "decode_step",
+           "decode_window_step", "generate", "beam_generate",
+           "speculative_generate"]

@@ -96,9 +96,11 @@ def init_decode_state(config: FlashT5Config, params: Dict,
     return DecodeState(tuple(layers), encoder_mask, jnp.zeros((), jnp.int32))
 
 
-def _single_query_attention(q, k, v, bias, scale, length_mask):
-    """q: (B,H,1,D); k,v: (B,H,N,D); bias: (1,H,1,N) or None;
-    length_mask: (N,) or (B,N) bool of valid key positions."""
+def _single_query_attention(q, k, v, bias, scale, length_mask,
+                            qk_mask=None):
+    """q: (B,H,Q,D); k,v: (B,H,N,D); bias: (1|B,H,Q,N) or None;
+    length_mask: (N,) or (B,N) bool of valid key positions;
+    qk_mask: (Q,N) bool per-query key validity (decode windows)."""
     s = jnp.einsum("bhqd,bhnd->bhqn", q.astype(jnp.float32),
                    k.astype(jnp.float32)) * scale
     if bias is not None:
@@ -106,6 +108,8 @@ def _single_query_attention(q, k, v, bias, scale, length_mask):
     if length_mask is not None:
         lm = length_mask if length_mask.ndim == 2 else length_mask[None]
         s = jnp.where(lm[:, None, None, :], s, -1e30)
+    if qk_mask is not None:
+        s = jnp.where(qk_mask[None, None], s, -1e30)
     p = jax.nn.softmax(s, axis=-1)
     return jnp.einsum("bhqn,bhnd->bhqd", p, v.astype(jnp.float32)).astype(q.dtype)
 
@@ -119,15 +123,33 @@ def decode_step(config: FlashT5Config, params: Dict, state: DecodeState,
     position t (modeling_flash_t5.py:410-464) — pinned by
     tests/test_inference.py against the no-cache forward.
     """
-    b = token.shape[0]
+    logits, new_state = decode_window_step(config, params, state,
+                                           token[:, None])
+    return logits[:, 0], new_state
+
+
+def decode_window_step(config: FlashT5Config, params: Dict,
+                       state: DecodeState, tokens: jnp.ndarray):
+    """Incremental decode over a window of Q tokens at positions t..t+Q-1.
+
+    tokens: (B, Q) int32 decoder inputs (Q static). Returns
+    (logits (B, Q, V), new_state with t advanced by Q). Queries attend the
+    committed cache plus the window's own earlier tokens (causal within the
+    window). Q=1 is exactly `decode_step`; Q>1 is the verify step for
+    speculative decoding — the same weight stream feeds Q queries, so on TPU
+    the marginal cost of the extra MXU rows is small while single-token
+    decode is HBM-bandwidth-bound.
+    """
+    b, q_len = tokens.shape
     dkv = config.d_kv
     t = state.t
     max_len = state.layers[0].self_k.shape[2]
     emb = params["shared"]["embedding"]
-    x = jnp.take(emb, token, axis=0).astype(jnp.dtype(config.dtype))[:, None, :]
+    x = jnp.take(emb, tokens, axis=0).astype(jnp.dtype(config.dtype))
 
     pos_k = jnp.arange(max_len, dtype=jnp.int32)
-    valid = pos_k <= t
+    q_pos = t + jnp.arange(q_len, dtype=jnp.int32)
+    valid = pos_k[None, :] <= q_pos[:, None]      # (Q, N)
 
     new_layers = []
     self_bias = None
@@ -151,16 +173,16 @@ def decode_step(config: FlashT5Config, params: Dict, state: DecodeState,
             cos, sin, cos_k, sin_k = positional.rope_cos_sin(
                 tlen, rotary_dim, base=config.rotary_base,
                 scale_base=config.rotary_scale_base, dtype=jnp.float32)
-            cos_t = jax.lax.dynamic_slice_in_dim(cos, t, 1, 0)
-            sin_t = jax.lax.dynamic_slice_in_dim(sin, t, 1, 0)
-            qb = jnp.transpose(q, (0, 2, 1, 3))     # (B,1,H,D)
+            cos_t = jax.lax.dynamic_slice_in_dim(cos, t, q_len, 0)
+            sin_t = jax.lax.dynamic_slice_in_dim(sin, t, q_len, 0)
+            qb = jnp.transpose(q, (0, 2, 1, 3))     # (B,Q,H,D)
             q = jnp.transpose(positional.apply_rotary(
                 qb, cos_t, sin_t, interleaved=config.rotary_interleaved),
                 (0, 2, 1, 3))
             ck = cos if cos_k is None else cos_k
             sk = sin if sin_k is None else sin_k
-            ck_t = jax.lax.dynamic_slice_in_dim(ck, t, 1, 0)
-            sk_t = jax.lax.dynamic_slice_in_dim(sk, t, 1, 0)
+            ck_t = jax.lax.dynamic_slice_in_dim(ck, t, q_len, 0)
+            sk_t = jax.lax.dynamic_slice_in_dim(sk, t, q_len, 0)
             kb = jnp.transpose(k_new, (0, 2, 1, 3))
             k_new = jnp.transpose(positional.apply_rotary(
                 kb, ck_t, sk_t,
@@ -179,22 +201,25 @@ def decode_step(config: FlashT5Config, params: Dict, state: DecodeState,
                 "self_attention"].get("pe_encoding")
             if config.position_encoding_type == "t5":
                 self_bias = positional.t5_relative_bias(
-                    pe, 1, max_len, bidirectional=False,
+                    pe, q_len, max_len, bidirectional=False,
                     num_buckets=config.relative_attention_num_buckets,
                     max_distance=config.relative_attention_max_distance,
                     dtype=jnp.float32,
-                    q_positions=t[None], k_positions=pos_k)
+                    q_positions=q_pos, k_positions=pos_k)
             elif config.position_encoding_type == "ALiBi":
                 self_bias = positional.alibi_bias(
-                    h, 1, max_len, mode=config.alibi_mode, dtype=jnp.float32,
-                    q_positions=t[None], k_positions=pos_k)
-            else:  # FIRE bias row at position t against all cache positions
+                    h, q_len, max_len, mode=config.alibi_mode,
+                    dtype=jnp.float32,
+                    q_positions=q_pos, k_positions=pos_k)
+            else:  # FIRE bias rows t..t+Q-1 against all cache positions
                 full = positional.fire_bias(pe, max_len, dtype=jnp.float32)
-                self_bias = jax.lax.dynamic_slice_in_dim(full, t, 1, axis=2)
+                self_bias = jax.lax.dynamic_slice_in_dim(full, t, q_len,
+                                                         axis=2)
 
         attn = _single_query_attention(q, self_k, self_v, self_bias,
-                                       config.softmax_scale, valid)
-        attn = jnp.transpose(attn, (0, 2, 1, 3)).reshape(b, 1, h * dkv)
+                                       config.softmax_scale, None,
+                                       qk_mask=valid)
+        attn = jnp.transpose(attn, (0, 2, 1, 3)).reshape(b, q_len, h * dkv)
         o_proj = t5._matmul(attn, sa["o"])
         if config.tp_axis is not None:
             o_proj = jax.lax.psum(o_proj, config.tp_axis)
@@ -215,15 +240,15 @@ def decode_step(config: FlashT5Config, params: Dict, state: DecodeState,
                 scale_base=config.rotary_scale_base, dtype=jnp.float32)
             qc = jnp.transpose(positional.apply_rotary(
                 jnp.transpose(qc, (0, 2, 1, 3)),
-                jax.lax.dynamic_slice_in_dim(cos, t, 1, 0),
-                jax.lax.dynamic_slice_in_dim(sin, t, 1, 0),
+                jax.lax.dynamic_slice_in_dim(cos, t, q_len, 0),
+                jax.lax.dynamic_slice_in_dim(sin, t, q_len, 0),
                 interleaved=config.rotary_interleaved), (0, 2, 1, 3))
         # parity with training path: encoder padding mask applies only via
         # use_masking (modeling_flash_t5.py:266-270), which needs a bias;
         # cross-attn has none, so no mask — reproduced exactly here.
         attn = _single_query_attention(qc, cache.cross_k, cache.cross_v, None,
                                        config.softmax_scale, None)
-        attn = jnp.transpose(attn, (0, 2, 1, 3)).reshape(b, 1, h * dkv)
+        attn = jnp.transpose(attn, (0, 2, 1, 3)).reshape(b, q_len, h * dkv)
         o_proj = t5._matmul(attn, ca["o"])
         if config.tp_axis is not None:
             o_proj = jax.lax.psum(o_proj, config.tp_axis)
@@ -240,4 +265,5 @@ def decode_step(config: FlashT5Config, params: Dict, state: DecodeState,
         logits = jnp.dot(x, emb.T.astype(x.dtype))
     else:
         logits = t5._matmul(x, params["lm_head"])
-    return logits[:, 0], DecodeState(tuple(new_layers), state.encoder_mask, t + 1)
+    return logits, DecodeState(tuple(new_layers), state.encoder_mask,
+                               t + q_len)

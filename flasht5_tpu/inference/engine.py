@@ -41,6 +41,10 @@ class Request:
     input_ids: np.ndarray           # (L,) int32
     max_new_tokens: int = 32
     result: Optional[np.ndarray] = None  # filled when finished
+    # speculative drafts (spec_window engines) look up bigrams in this
+    # sequence instead of input_ids when set — e.g. a retrieved document or
+    # a cheap draft-model output; purely a speed hint, never changes tokens
+    draft_source: Optional[np.ndarray] = None
     # load-generation / observability fields (all host wall-clock seconds):
     arrival_s: float = 0.0          # earliest admit time relative to run start
     admitted_at: Optional[float] = None     # when the prefill+insert happened
@@ -77,6 +81,15 @@ class EngineConfig:
     top_k: int = 0
     top_p: float = 1.0
     sample_seed: int = 0
+    # Speculative decoding (>=2 enables): each device "step" becomes a
+    # Q-token verify window per slot — prompt-lookup bigram drafts from the
+    # request's own input ids, accepted by the slot's argmax chain
+    # (token-exact vs the standard greedy path; see inference/speculative.py
+    # for the single-stream form and docs/spec_decode.json for the window
+    # cost measurements). Greedy-only (temperature must be 0), plain
+    # engine only this round (no tp/shard_map), XLA attention path
+    # (use_decode_kernel must be off — the fused kernel is single-query).
+    spec_window: int = 0
 
 
 class KVTensor(typing.NamedTuple):
@@ -129,6 +142,9 @@ class BatchState:
         self.cur_token = jnp.zeros((b,), jnp.int32)      # last emitted token
         self.active = jnp.zeros((b,), jnp.bool_)
         self.budget = jnp.zeros((b,), jnp.int32)         # remaining new tokens
+        # token before cur_token (speculative bigram lookup; unused and
+        # unsharded on the standard / sharded paths)
+        self.prev_token = jnp.zeros((b,), jnp.int32)
 
 
 class InferenceEngine:
@@ -155,6 +171,14 @@ class InferenceEngine:
         self._insert_fn = jax.jit(self._make_insert(),
                                   donate_argnums=(0, 1, 2, 3, 4, 5))
         self._sample_rng = jax.random.PRNGKey(ecfg.sample_seed)
+        if ecfg.spec_window >= 2:
+            self._spec_multi_fn = jax.jit(
+                self._make_spec_multi(),
+                donate_argnums=(1, 2, 3, 4, 5, 6, 7))
+            # windows: device window dispatches that had any active slot;
+            # slot_windows: (window, active slot) pairs — tokens /
+            # slot_windows is the per-slot tokens-per-window acceptance
+            self.spec_stats = {"windows": 0, "tokens": 0, "slot_windows": 0}
 
     # -- prefill -----------------------------------------------------------
 
@@ -453,6 +477,213 @@ class InferenceEngine:
 
         return multi
 
+    # -- speculative decode (spec_window >= 2) -----------------------------
+
+    def _make_spec_step(self):
+        """Per-slot Q-token verify window (speculative decoding inside the
+        slot engine). Every slot drafts `Q-1` tokens by bigram lookup in its
+        own encoder input, runs them through one Q-row decode window (causal
+        within the window, per-slot per-row T5 bias), and accepts the
+        longest prefix its argmax chain confirms plus one bonus token —
+        token-exact vs the standard greedy step at any acceptance rate
+        (tests/test_engine_spec.py). Unlike the generate-level form
+        (inference/speculative.py), acceptance is PER SLOT: each slot's
+        `pos` advances by its own accepted count.
+
+        KV writes are masked OVERWRITES of the window rows (the standard
+        step's add-scatter assumes untouched rows are zero; rollback leaves
+        stale non-zero rows that the next window must be able to rewrite),
+        so a slot must be decoded exclusively by this step once admitted.
+        """
+        config, ecfg = self.config, self.ecfg
+        q_len = ecfg.spec_window
+        n_draft = q_len - 1
+        quant = ecfg.kv_dtype == "int8"
+        assert q_len >= 2
+        assert ecfg.temperature <= 0.0, "speculative decode is greedy-only"
+        assert not ecfg.use_decode_kernel, \
+            "fused decode kernel is single-query; disable for spec_window"
+        assert config.tp_axis is None, \
+            "spec_window is plain-engine only this round"
+
+        def step(params, layers, enc_len, pos, cur_token, prev_token,
+                 active, budget, draft_src):
+            b = cur_token.shape[0]
+            dkv = config.d_kv
+            emb = params["shared"]["embedding"]
+            L = ecfg.max_decode_len
+            kpos = jnp.arange(L, dtype=jnp.int32)
+
+            # ---- per-slot prompt-lookup drafts ----
+            s_len = draft_src.shape[1]
+            prev_eff = jnp.where(pos == 0, -2, prev_token)
+            prev_src = jnp.pad(draft_src[:, :-1], ((0, 0), (1, 0)),
+                               constant_values=-1)
+            match = ((draft_src == cur_token[:, None])
+                     & (prev_src == prev_eff[:, None]))
+            j_ar = jnp.arange(s_len, dtype=jnp.int32)[None, :]
+            j_star = jnp.max(jnp.where(match, j_ar, -1), axis=-1)
+            src_pad = jnp.pad(draft_src, ((0, 0), (0, n_draft)))
+            idx = (j_star[:, None] + 1
+                   + jnp.arange(n_draft, dtype=jnp.int32)[None, :])
+            idx = jnp.clip(idx, 0, src_pad.shape[1] - 1)
+            draft = jnp.take_along_axis(src_pad, idx, axis=1)
+            draft = jnp.where((j_star >= 0)[:, None], draft, 0)
+            w_in = jnp.concatenate([cur_token[:, None], draft], axis=1)
+
+            x = jnp.take(emb, w_in, axis=0).astype(jnp.dtype(config.dtype))
+
+            q_pos = pos[:, None] + jnp.arange(q_len, dtype=jnp.int32)[None]
+            self_valid = kpos[None, None, :] <= q_pos[:, :, None]  # (B,Q,L)
+            cpos = jnp.arange(ecfg.max_encode_len, dtype=jnp.int32)
+            cross_valid = cpos[None, :] < enc_len[:, None]          # (B,N)
+
+            # window-row overwrite helpers: target rows pos..pos+Q-1
+            in_win = (kpos[None, :] >= pos[:, None]) & (
+                kpos[None, :] < pos[:, None] + q_len)               # (B,L)
+            row_idx = jnp.clip(kpos[None, :] - pos[:, None], 0, q_len - 1)
+
+            def scatter_win(kv: KVTensor, new: jnp.ndarray) -> KVTensor:
+                newq = _kv_make(new, quant)                    # (B,H,Q,D)
+                gathered = jnp.take_along_axis(
+                    newq.values, row_idx[:, None, :, None], axis=2)
+                vals = jnp.where(in_win[:, None, :, None],
+                                 gathered.astype(kv.values.dtype), kv.values)
+                scales = kv.scales
+                if scales is not None:
+                    gsc = jnp.take_along_axis(
+                        newq.scales, row_idx[:, None, :, None], axis=2)
+                    scales = jnp.where(in_win[:, None, :, None], gsc, scales)
+                return KVTensor(vals, scales)
+
+            new_layers = []
+            self_bias = None
+            for li, blk in enumerate(params["decoder"]["block"]):
+                cache = layers[li]
+                sa = blk["self_attention_layer"]["self_attention"]
+                h = sa["Wq"].shape[1] // dkv
+                normed = t5._layer_norm(
+                    config,
+                    blk["self_attention_layer"]["layer_norm"]["weight"], x)
+                qh = kv_cache._proj_heads(normed, sa["Wq"], h, dkv)
+                k_new = kv_cache._proj_heads(normed, sa["Wk"], h, dkv)
+                v_new = kv_cache._proj_heads(normed, sa["Wv"], h, dkv)
+
+                self_k = scatter_win(cache.self_k, k_new)
+                self_v = scatter_win(cache.self_v, v_new)
+
+                if li == 0 and config.position_encoding_type == "t5":
+                    pe = sa.get("pe_encoding")
+                    rel = kpos[None, None, :] - q_pos[:, :, None]   # (B,Q,L)
+                    from flasht5_tpu.positional import relative_position_bucket
+                    buckets = relative_position_bucket(
+                        rel, bidirectional=False,
+                        num_buckets=config.relative_attention_num_buckets,
+                        max_distance=config.relative_attention_max_distance)
+                    vals = jnp.take(pe["relative_attention_bias"], buckets,
+                                    axis=0)                     # (B,Q,L,H)
+                    self_bias = jnp.transpose(vals, (0, 3, 1, 2))
+
+                s = jnp.einsum("bhqd,bhnd->bhqn", qh.astype(jnp.float32),
+                               _kv_read(self_k)) * config.softmax_scale
+                if self_bias is not None:
+                    s = s + self_bias.astype(jnp.float32)
+                s = jnp.where(self_valid[:, None], s, -1e30)
+                p = jax.nn.softmax(s, axis=-1)
+                attn = jnp.einsum("bhqn,bhnd->bhqd", p,
+                                  _kv_read(self_v)).astype(x.dtype)
+                attn = jnp.transpose(attn, (0, 2, 1, 3)).reshape(
+                    b, q_len, h * dkv)
+                x = x + t5._matmul(attn, sa["o"])
+
+                ca = blk["cross_attention_layer"]["cross_attention"]
+                normed = t5._layer_norm(
+                    config,
+                    blk["cross_attention_layer"]["layer_norm"]["weight"], x)
+                qc = kv_cache._proj_heads(normed, ca["Wq"], h, dkv)
+                s = jnp.einsum("bhqd,bhnd->bhqn", qc.astype(jnp.float32),
+                               _kv_read(cache.cross_k)) * config.softmax_scale
+                s = jnp.where(cross_valid[:, None, None, :], s, -1e30)
+                p = jax.nn.softmax(s, axis=-1)
+                attn = jnp.einsum("bhqn,bhnd->bhqd", p,
+                                  _kv_read(cache.cross_v)).astype(x.dtype)
+                attn = jnp.transpose(attn, (0, 2, 1, 3)).reshape(
+                    b, q_len, h * dkv)
+                x = x + t5._matmul(attn, ca["o"])
+
+                x = t5._ff(config, blk["ff_layer"], x, rng=None,
+                           deterministic=True)
+                new_layers.append(cache._replace(self_k=self_k,
+                                                 self_v=self_v))
+
+            x = t5._layer_norm(
+                config, params["decoder"]["final_layer_norm"]["weight"], x)
+            if config.tie_word_embeddings:
+                logits = jnp.dot(x, emb.T.astype(x.dtype))
+            else:
+                logits = t5._matmul(x, params["lm_head"])
+            g = jnp.argmax(logits, axis=-1).astype(jnp.int32)   # (B, Q)
+
+            # ---- acceptance, clipped to budget, stopped at first EOS ----
+            ok = jnp.cumprod((draft == g[:, :-1]).astype(jnp.int32), axis=1)
+            n_emit = jnp.sum(ok, axis=1) + 1                    # (B,)
+            n_emit = jnp.minimum(n_emit, jnp.maximum(budget, 1))
+            within = jnp.arange(q_len)[None, :] < n_emit[:, None]
+            eos_in = (g == config.eos_token_id) & within
+            has_eos = jnp.any(eos_in, axis=-1)
+            first_eos = jnp.argmax(eos_in, axis=-1)
+            n_eff = jnp.where(has_eos, first_eos + 1, n_emit)
+            n_eff = jnp.where(active, n_eff, 0)
+
+            budget = jnp.where(active, budget - n_eff, budget)
+            new_pos = pos + n_eff
+            last = jnp.take_along_axis(
+                g, jnp.maximum(n_eff - 1, 0)[:, None], axis=1)[:, 0]
+            new_cur = jnp.where(active & (n_eff > 0), last, cur_token)
+            # token before new_cur: g[n_eff-2] if >=2 accepted, else cur
+            prev2 = jnp.take_along_axis(
+                g, jnp.maximum(n_eff - 2, 0)[:, None], axis=1)[:, 0]
+            new_prev = jnp.where(
+                active & (n_eff >= 2), prev2,
+                jnp.where(active & (n_eff == 1), cur_token, prev_token))
+
+            out_of_room = (new_pos + 1 >= L) | (budget <= 0)
+            finished = active & (has_eos | out_of_room)
+            pos = jnp.where(active, new_pos, pos)
+            cur_token = new_cur
+            prev_token = new_prev
+            active = active & ~finished
+            return (tuple(new_layers), enc_len, pos, cur_token, prev_token,
+                    active, budget, g, n_eff, finished)
+
+        return step
+
+    def _make_spec_multi(self):
+        step = self._make_spec_step()
+        k = self.ecfg.steps_per_sync
+
+        def multi(params, layers, enc_len, pos, cur_token, prev_token,
+                  active, budget, draft_src):
+            def body(carry, _):
+                (layers, enc_len, pos, cur_token, prev_token, active,
+                 budget) = carry
+                was_active = active
+                (layers, enc_len, pos, cur_token, prev_token, active,
+                 budget, g, n_eff, finished) = step(
+                    params, layers, enc_len, pos, cur_token, prev_token,
+                    active, budget, draft_src)
+                return ((layers, enc_len, pos, cur_token, prev_token,
+                         active, budget), (g, n_eff, finished, was_active))
+
+            carry, (toks, n_effs, fins, actives) = jax.lax.scan(
+                body,
+                (layers, enc_len, pos, cur_token, prev_token, active,
+                 budget), None, length=k)
+            # toks (k,B,Q); n_effs/fins/actives (k,B)
+            return carry, toks, n_effs, fins, actives
+
+        return multi
+
     def warmup(self, buckets=None) -> None:
         """Compile every prefill variant (all power-of-two batch sizes per
         bucket) plus the decode window, so first-request latency under load
@@ -478,14 +709,25 @@ class InferenceEngine:
                     break
                 nb *= 2
         st = self.state
-        self._sample_rng, sub = jax.random.split(self._sample_rng)
-        out = self._multi_step_fn(self.params, st.layers, st.enc_len, st.pos,
-                                  st.cur_token, st.active, st.budget, sub)
-        (st.layers, st.enc_len, st.pos, st.cur_token, st.active,
-         st.budget) = out[0]
-        self._sample_rng = out[1]
-        np.asarray(out[2])  # force completion (block_until_ready can be a
-        # dispatch-only no-op on tunneled backends)
+        if self.ecfg.spec_window >= 2:
+            draft0 = jnp.zeros((self.ecfg.max_slots,
+                                self.ecfg.max_encode_len), jnp.int32)
+            carry, toks, n_effs, fins, actives = self._spec_multi_fn(
+                self.params, st.layers, st.enc_len, st.pos, st.cur_token,
+                st.prev_token, st.active, st.budget, draft0)
+            (st.layers, st.enc_len, st.pos, st.cur_token, st.prev_token,
+             st.active, st.budget) = carry
+            np.asarray(toks)
+        else:
+            self._sample_rng, sub = jax.random.split(self._sample_rng)
+            out = self._multi_step_fn(self.params, st.layers, st.enc_len,
+                                      st.pos, st.cur_token, st.active,
+                                      st.budget, sub)
+            (st.layers, st.enc_len, st.pos, st.cur_token, st.active,
+             st.budget) = out[0]
+            self._sample_rng = out[1]
+            np.asarray(out[2])  # force completion (block_until_ready can be
+            # a dispatch-only no-op on tunneled backends)
         # park the warmup's fake request so the next run starts quiescent
         st.active = jnp.zeros_like(st.active)
 
@@ -541,6 +783,14 @@ class InferenceEngine:
         limits: List[int] = [0] * self.ecfg.max_slots   # per-slot token caps
         st = self.state
         k_window = self.ecfg.steps_per_sync
+        spec = self.ecfg.spec_window >= 2
+        # speculative draft sources: each slot's own input ids (host-built,
+        # shipped with every window dispatch — 4*B*max_enc bytes, trivial)
+        draft_host = (np.zeros((self.ecfg.max_slots,
+                                self.ecfg.max_encode_len), np.int32)
+                      if spec else None)
+        # max tokens one dispatched window can emit per slot
+        window_credit = k_window * (self.ecfg.spec_window if spec else 1)
 
         def refresh_queue():
             t = now() - t0
@@ -584,25 +834,56 @@ class InferenceEngine:
                     limits[i] = min(req.max_new_tokens,
                                     self.ecfg.max_decode_len - 1)
                     req.admitted_at = now() - t0
+                    if spec:
+                        src = (req.input_ids if req.draft_source is None
+                               else req.draft_source)
+                        draft_host[i] = 0
+                        Ld = min(len(src), self.ecfg.max_encode_len)
+                        draft_host[i, :Ld] = np.asarray(src[:Ld], np.int32)
 
         def harvest(pending):
             """Fetch a window's outputs (blocks on device completion of THAT
             window only) and retire finished requests."""
-            snapshot, _credit, toks, fins, actives = pending
-            toks_h = np.asarray(toks)        # (k, B)
-            fins_h = np.asarray(fins)
-            act_h = np.asarray(actives)
-            t_host = now() - t0
-            finished_now = [False] * len(snapshot)
-            for t in range(toks_h.shape[0]):
-                for i, req in enumerate(snapshot):
-                    if req is None or finished_now[i] or not act_h[t, i]:
-                        continue
-                    if not emitted[i]:
-                        req.first_token_at = t_host
-                    emitted[i].append(int(toks_h[t, i]))
-                    if fins_h[t, i]:
-                        finished_now[i] = True
+            if spec:
+                snapshot, _credit, toks, n_effs, fins, actives = pending
+                toks_h = np.asarray(toks)        # (k, B, Q)
+                n_h = np.asarray(n_effs)         # (k, B)
+                fins_h = np.asarray(fins)
+                act_h = np.asarray(actives)
+                t_host = now() - t0
+                finished_now = [False] * len(snapshot)
+                for t in range(toks_h.shape[0]):
+                    any_active = False
+                    for i, req in enumerate(snapshot):
+                        if req is None or finished_now[i] or not act_h[t, i]:
+                            continue
+                        any_active = True
+                        n = int(n_h[t, i])
+                        if n > 0 and not emitted[i]:
+                            req.first_token_at = t_host
+                        emitted[i].extend(int(x) for x in toks_h[t, i, :n])
+                        self.spec_stats["tokens"] += n
+                        self.spec_stats["slot_windows"] += 1
+                        if fins_h[t, i]:
+                            finished_now[i] = True
+                    if any_active:
+                        self.spec_stats["windows"] += 1
+            else:
+                snapshot, _credit, toks, fins, actives = pending
+                toks_h = np.asarray(toks)        # (k, B)
+                fins_h = np.asarray(fins)
+                act_h = np.asarray(actives)
+                t_host = now() - t0
+                finished_now = [False] * len(snapshot)
+                for t in range(toks_h.shape[0]):
+                    for i, req in enumerate(snapshot):
+                        if req is None or finished_now[i] or not act_h[t, i]:
+                            continue
+                        if not emitted[i]:
+                            req.first_token_at = t_host
+                        emitted[i].append(int(toks_h[t, i]))
+                        if fins_h[t, i]:
+                            finished_now[i] = True
             for i, req in enumerate(snapshot):
                 if req is None or not finished_now[i]:
                     continue
@@ -651,17 +932,29 @@ class InferenceEngine:
                 pending = None
                 admit()
                 continue
-            carry, self._sample_rng, toks, fins, actives = \
-                self._multi_step_fn(
-                    self.params, st.layers, st.enc_len, st.pos, st.cur_token,
-                    st.active, st.budget, self._sample_rng)
-            (st.layers, st.enc_len, st.pos, st.cur_token, st.active,
-             st.budget) = carry
+            if spec:
+                carry, toks, n_effs, fins, actives = self._spec_multi_fn(
+                    self.params, st.layers, st.enc_len, st.pos,
+                    st.cur_token, st.prev_token, st.active, st.budget,
+                    jnp.asarray(draft_host))
+                (st.layers, st.enc_len, st.pos, st.cur_token,
+                 st.prev_token, st.active, st.budget) = carry
+            else:
+                carry, self._sample_rng, toks, fins, actives = \
+                    self._multi_step_fn(
+                        self.params, st.layers, st.enc_len, st.pos,
+                        st.cur_token, st.active, st.budget,
+                        self._sample_rng)
+                (st.layers, st.enc_len, st.pos, st.cur_token, st.active,
+                 st.budget) = carry
             snapshot = list(slots)
-            credit = {i: k_window for i, s in enumerate(slots)
+            credit = {i: window_credit for i, s in enumerate(slots)
                       if s is not None}
             if pending is not None:
                 harvest(pending)
-            pending = (snapshot, credit, toks, fins, actives)
+            if spec:
+                pending = (snapshot, credit, toks, n_effs, fins, actives)
+            else:
+                pending = (snapshot, credit, toks, fins, actives)
             admit()
         return requests
